@@ -1,0 +1,383 @@
+"""The URL frontier: BFS wave loop as DataFrame jobs.
+
+Re-creates the reference's single-process BFS (``src/crawler.py:126-272``)
+as one Catalyst job per depth wave over ALL sources simultaneously:
+
+    wave_d  --join pages-->  fetch  --mapInPandas-->  links
+      --strip/filter F1-F5-->  candidates  --left_anti seen-->
+      --first-occurrence dedup-->  wave_{d+1}  --assign_seq-->  seen ∪=
+
+Design notes for the 10^10-URL case:
+
+* ALL sources ride one DataFrame per wave — job count is O(depth), not
+  O(sources × depth).
+* the seen-set anti-join is keyed (source_id, url): exact, and the only
+  correctness-bearing dedup. The bloom sidecar (operators/bloom.py) is a
+  pure prefilter in front of it.
+* per-source FIFO visit order is reconstructed with the two-phase ranking
+  in operators/ranking.py — no global-window single-partition sort.
+* per-wave ``localCheckpoint`` truncates the iterative lineage; with a
+  snapshot table (storage/snaptable.py) the checkpoint doubles as the
+  resumable Iceberg-style snapshot.
+* mega-host skew: candidate link extraction partitions by input file
+  splits; the explicit ``repartition`` before the UDF spreads a skewed
+  host by url hash (salting); AQE skew-join handles the rest.
+
+Reference-semantics invariants (tests/test_frontier_equality.py):
+
+* generic branch: seen-then-stop at ``depth == max_depth``
+  (crawler.py:232-236) — depth-max URLs ARE visited, never expanded.
+* Modern-Campus branch: ``depth >= max_depth`` skips before marking seen
+  (crawler.py:186-189); ``preview_course_nopop.php`` URLs enter the seen
+  set without being visited (crawler.py:211-212); only
+  ``tr>td[colspan=2]>a`` hrefs containing ``content.php`` are enqueued
+  (crawler.py:214-226).
+* candidates are checked against seen at extraction time; in-wave
+  duplicates resolve at pop — equivalent to anti-join against
+  (seen ∪ current wave) + first-occurrence dedup (proof in module tests).
+* fetch failures keep the URL in seen but yield no links
+  (crawler.py:191-196,238-243).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import SourceConfig
+from ..functions import urls as U
+from ..functions.htmlmini import extract_hrefs, extract_mc_listing_hrefs
+from .ranking import assign_seq_with_totals
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("visited", T.BooleanType(), False),
+    ]
+)
+
+_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType(), False),
+        T.StructField("page_url", T.StringType(), False),
+        T.StructField("parent_seq", T.LongType(), False),
+        T.StructField("link_pos", T.IntegerType(), False),
+        T.StructField("stream", T.StringType(), False),
+        T.StructField("href", T.StringType(), False),
+    ]
+)
+
+
+def _extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: page HTML -> exploded hrefs with document positions.
+
+    Streams: 'anchor' = every <a href> (crawler.py:200,248);
+    'mc_listing' = tr>td[colspan=2]>a (crawler.py:214), emitted only for
+    Modern-Campus sources.
+    """
+    for pdf in batches:
+        out = {k: [] for k in ("source_id", "page_url", "parent_seq", "link_pos", "stream", "href")}
+        for sid, url, seq, html, is_mc in zip(
+            pdf["source_id"], pdf["page_url"], pdf["parent_seq"], pdf["html"], pdf["is_mc"]
+        ):
+            for pos, href in enumerate(extract_hrefs(html)):
+                out["source_id"].append(sid)
+                out["page_url"].append(url)
+                out["parent_seq"].append(seq)
+                out["link_pos"].append(pos)
+                out["stream"].append("anchor")
+                out["href"].append(href)
+            if is_mc:
+                for pos, href in enumerate(extract_mc_listing_hrefs(html)):
+                    out["source_id"].append(sid)
+                    out["page_url"].append(url)
+                    out["parent_seq"].append(seq)
+                    out["link_pos"].append(pos)
+                    out["stream"].append("mc_listing")
+                    out["href"].append(href)
+        yield pd.DataFrame(out)
+
+
+@dataclass
+class SourceRuntime:
+    """Per-source crawl parameters resolved at start (root fetch)."""
+
+    source: SourceConfig
+    is_mc: bool
+    scope_domain: str
+    root_path: str
+
+    @property
+    def excl_regex(self) -> str:
+        return "|".join(f"(?:{p})" for p in self.source.effective_exclude_patterns)
+
+
+@dataclass
+class WaveMetrics:
+    depth: int
+    wave_size: int
+    new_urls: int
+
+
+@dataclass
+class CrawlResult:
+    seen: DataFrame  # SEEN_SCHEMA; visited=False rows are MC previews
+    failed_sources: list[str] = field(default_factory=list)
+    metrics: list[WaveMetrics] = field(default_factory=list)
+
+    def seen_urls(self, source_id: str) -> list[str]:
+        """Sorted final seen set, as the reference returns it (crawler.py:63)."""
+        return [
+            r.url
+            for r in self.seen.filter(F.col("source_id") == source_id)
+            .select("url")
+            .orderBy("url")
+            .collect()
+        ]
+
+    def visit_order(self, source_id: str) -> list[tuple[str, int]]:
+        return [
+            (r.url, r.depth)
+            for r in self.seen.filter((F.col("source_id") == source_id) & F.col("visited"))
+            .select("url", "depth", "seq")
+            .orderBy("seq")
+            .collect()
+        ]
+
+
+def resolve_sources(
+    spark: SparkSession, sources: list[SourceConfig], pages: DataFrame
+) -> tuple[list[SourceRuntime], list[str]]:
+    """Root fetch + Modern-Campus detection (crawler.py:179-184).
+
+    The reference's root fetch has no retry/fallback and aborts the
+    source on any HTTP error (``raise_for_status``, crawler.py:180).
+    One tiny job: semi-join pages to the root URL list.
+    """
+    roots = {s.root_url: s for s in sources}
+    root_rows = (
+        pages.filter(F.col("url").isin(list(roots)))
+        .select("url", "status_code", "html")
+        .collect()
+    )
+    by_url = {r.url: r for r in root_rows}
+    runtimes, failed = [], []
+    for s in sources:
+        r = by_url.get(s.root_url)
+        if r is None or r.status_code >= 400:
+            failed.append(s.source_id)
+            continue
+        domain, root_path = U.scope_root(s.root_url, s.url_base_exclude)
+        runtimes.append(
+            SourceRuntime(
+                source=s,
+                is_mc="Modern Campus Catalog" in r.html,
+                scope_domain=domain,
+                root_path=root_path,
+            )
+        )
+    return runtimes, failed
+
+
+def _dim_df(spark: SparkSession, runtimes: list[SourceRuntime]) -> DataFrame:
+    rows = [
+        (
+            rt.source.source_id,
+            rt.is_mc,
+            rt.scope_domain,
+            rt.root_path,
+            bool(rt.source.include_external),
+            rt.excl_regex,
+            int(rt.source.crawl_depth),
+        )
+        for rt in runtimes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source_id string, is_mc boolean, scope_domain string, root_path string, "
+        "include_external boolean, excl_regex string, max_depth int",
+    )
+
+
+def fetch_ok_col() -> F.Column:
+    """The render_utils.py:43-102 ladder as a Column predicate: static
+    success, or retry-then-Playwright fallback for 403/404/429 when the
+    page is dynamic-renderable. 5xx and static-only error pages fail."""
+    return (F.col("status_code") < 400) | (
+        F.col("status_code").isin(403, 404, 429) & (F.col("fetch_mode") == "dynamic")
+    )
+
+
+def crawl_sources(
+    spark: SparkSession,
+    sources: list[SourceConfig],
+    pages: DataFrame,
+    make_root_filter: bool = True,
+    candidate_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> CrawlResult:
+    """Run the full BFS to fixpoint for every source in one wave loop."""
+    runtimes, failed = resolve_sources(spark, sources, pages)
+    result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
+    if not runtimes:
+        return result
+    dim = F.broadcast(_dim_df(spark, runtimes))
+    parts = candidate_partitions or spark.sparkContext.defaultParallelism
+
+    pages_slim = pages.select(
+        F.col("url").alias("p_url"), "host", "html", "status_code", "fetch_mode"
+    )
+
+    # wave 0: roots, seq 1 per source
+    wave = spark.createDataFrame(
+        [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
+        "source_id string, url string, host string, depth int, seq long",
+    )
+    seen = wave.withColumn("visited", F.lit(True))
+    if checkpoint:
+        seen = seen.localCheckpoint(eager=True)
+        wave = seen.drop("visited")
+    seq_base: dict[str, int] = {rt.source.source_id: 1 for rt in runtimes}
+    max_depth_overall = max(rt.source.crawl_depth for rt in runtimes)
+    depth = 0
+
+    while depth < max_depth_overall:
+        # -- expand filter: generic never expands AT max depth
+        #    (crawler.py:235); MC waves are already < max by construction.
+        expandable = (
+            wave.join(dim, "source_id")
+            .filter(F.col("is_mc") | (F.col("depth") < F.col("max_depth")))
+        )
+
+        fetched = (
+            expandable.join(pages_slim, expandable.url == pages_slim.p_url, "left")
+            .filter(fetch_ok_col())  # failed/missing pages: seen, no links
+            .select(
+                "source_id",
+                F.col("url").alias("page_url"),
+                F.col("seq").alias("parent_seq"),
+                "html",
+                "is_mc",
+            )
+        )
+        # spread skewed hosts before the Python stage (salting by row hash)
+        fetched = fetched.repartition(parts)
+
+        links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
+
+        href2 = U.strip_fragment(F.col("href"))
+        cand = (
+            links.withColumn("href2", href2)
+            .filter(U.is_followable(F.col("href2")))
+            .withColumn("full_url", U.absolutize(F.col("page_url"), F.col("href2")))
+        )
+        scope_ok = F.col("include_external") | (
+            (U.host_of(F.col("full_url")) == F.col("scope_domain"))
+            & (
+                U.path_of(F.col("full_url")).startswith(F.col("root_path"))
+                if make_root_filter
+                else F.lit(True)
+            )
+        )
+        cand = cand.filter(scope_ok & ~F.rlike(F.col("full_url"), F.col("excl_regex")))
+
+        # MC side-channel: previews -> seen without visiting (crawler.py:211-212)
+        previews = (
+            cand.filter(
+                F.col("is_mc")
+                & (F.col("stream") == "anchor")
+                & F.col("full_url").contains("preview_course_nopop.php")
+            )
+            .select("source_id", F.col("full_url").alias("url"))
+            .dropDuplicates(["source_id", "url"])
+            .join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            .select(
+                "source_id",
+                "url",
+                U.host_of(F.col("url")).alias("host"),
+                F.lit(None).cast("int").alias("depth"),
+                F.lit(None).cast("long").alias("seq"),
+                F.lit(False).alias("visited"),
+            )
+        )
+
+        # queue candidates: generic = every anchor; MC = listing links to
+        # content.php. Depth gate differs per branch (crawler.py:187 vs 235).
+        next_depth = depth + 1
+        queue_cand = cand.filter(
+            F.when(
+                F.col("is_mc"),
+                (F.col("stream") == "mc_listing")
+                & F.col("full_url").contains("content.php")
+                & (F.lit(next_depth) < F.col("max_depth")),
+            ).otherwise(
+                (F.col("stream") == "anchor") & (F.lit(next_depth) <= F.col("max_depth"))
+            )
+        ).select("source_id", F.col("full_url").alias("url"), "parent_seq", "link_pos")
+
+        new_urls = queue_cand.join(
+            seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
+        )
+        # first-occurrence dedup inside the wave: earliest (parent_seq,
+        # link_pos) wins — the queue-insertion order of the reference.
+        first = (
+            new_urls.groupBy("source_id", "url")
+            .agg(F.min(F.struct("parent_seq", "link_pos")).alias("k"))
+            .select("source_id", "url", F.col("k.parent_seq").alias("parent_seq"), F.col("k.link_pos").alias("link_pos"))
+        )
+        ranked, totals = assign_seq_with_totals(
+            first, "source_id", ["parent_seq", "link_pos"], seq_col="rel_seq"
+        )
+        if sum(totals.values()) == 0 and previews.isEmpty():
+            break
+
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
+            )
+        ) if totals else None
+
+        if totals:
+            new_wave = (
+                ranked.join(base_df, "source_id")
+                .select(
+                    "source_id",
+                    "url",
+                    U.host_of(F.col("url")).alias("host"),
+                    F.lit(next_depth).alias("depth"),
+                    (F.col("rel_seq") + F.col("base")).alias("seq"),
+                )
+            )
+            for sid, n in totals.items():
+                seq_base[sid] = seq_base.get(sid, 0) + n
+        else:
+            new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
+
+        seen = seen.unionByName(new_wave.withColumn("visited", F.lit(True))).unionByName(previews)
+        if checkpoint:
+            seen = seen.localCheckpoint(eager=True)
+        wave = seen.filter(F.col("visited") & (F.col("depth") == next_depth)).select(
+            "source_id", "url", "host", "depth", "seq"
+        )
+        result.metrics.append(WaveMetrics(depth=next_depth, wave_size=sum(totals.values()), new_urls=sum(totals.values())))
+        depth = next_depth
+        if sum(totals.values()) == 0:
+            break
+
+    result.seen = seen
+    return result
+
+
+def crawl_source(
+    spark: SparkSession, source: SourceConfig, pages: DataFrame, **kw
+) -> CrawlResult:
+    return crawl_sources(spark, [source], pages, **kw)
