@@ -1,38 +1,661 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every relational/dataflow operator from SURVEY.md §2
+(plus the training-pipeline additions) over the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB-equivalent for each. Column names and
+types are aligned on both sides (the driver hash-compares values with
+columns sorted by name).
+
+Operator ↔ query map (SURVEY.md §2 inventory):
+  S3/J2  anti-join scan            q_task_anti_join
+  J1     seen-set anti-join        q_set_difference (same primitive)
+  A1/SET2 first-occurrence dedup   q_first_occurrence_dedup
+  §2.5   politeness window         q_politeness_schedule
+  A5/AR3 code normalization        q_code_normalization
+  §2.8   clean_text (builtin path) q_clean_text
+  F5     exclude-pattern filter    q_exclude_filter
+  F1-F4  canonicalize/scope        q_url_canonicalize
+  A3/O2  stratified top-k          q_stratified_topk
+  O1/O3  sort + limit              q_top_hits
+  A2     count metrics             q_count_metrics
+  K6/J5  merge upsert              q_merge_upsert
+  AR4/F11 label explode+validate   q_label_explode_validate
+  §2.10  windowed rollup           q_windowed_rollup
+  AR6    span synthesis/flatten    q_span_flatten
+  dedup  exact                     q_exact_dedup
+  dedup  n-gram jaccard            q_jaccard_pairs
+  dedup  minhash signatures        q_minhash_signatures
+  dedup  minhash+LSH (verified)    q_minhash_lsh_dedup   [rows-only]
+  dedup  simhash                   q_simhash
+  dedup  embedding cosine          q_embedding_neardup
+  ANN    brute-force top-k         q_ann_topk
+  ANN    LSH-bucketed top-k        q_ann_lsh_topk        [rows-only]
+  text   token/quality stats       q_token_stats
+  text   language id               q_lang_id
+  text   fingerprint               q_fingerprint
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from course_scraper_spark.functions import urls as U
+from course_scraper_spark.functions.text import clean_text_builtin
+from course_scraper_spark.operators import dedup as D
+from course_scraper_spark.operators import similarity as SIM
+from course_scraper_spark.operators import textstats as TS
+from course_scraper_spark.operators.politeness import split_by_budget, with_schedule
+from course_scraper_spark.synth.docs import docs_from_documents
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: docs-shaped span pipeline (BASELINE input shape) —
+    synthesize docs, flatten spans, clean text, per-doc stats + lang id,
+    join with exact-dedup keep decisions."""
+    documents = _t(spark, SF_DEFAULT, "documents")
+    docs = docs_from_documents(documents)
+    flat = docs.select("doc_id", F.explode("spans").alias("sp"))
+    text_spans = flat.filter(F.col("sp.kind") != "media").select(
+        "doc_id", clean_text_builtin(F.col("sp.text")).alias("txt")
+    )
+    per_doc = text_spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_text_spans"),
+        F.sum(TS.token_count(F.col("txt")).cast("long")).alias("n_tokens"),
+    )
+    media = (
+        flat.filter(F.col("sp.kind") == "media")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_media"))
+    )
+    keep = D.exact_dedup(documents, "text", "doc_id").select(
+        F.concat(F.lit("doc:"), F.col("keep_id").cast("string")).alias("doc_id"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return (
+        per_doc.join(media, "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_text_spans",
+            "n_tokens",
+            F.coalesce("n_media", F.lit(0)).alias("n_media"),
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_task_anti_join(spark, sf):
+    # S3 shape: sources with no completed work yet — here: customers with
+    # no finalized ('F') order (non-empty at every sf)
+    customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    done = orders.filter(F.col("o_orderstatus") == "F")
+    return customer.join(done, customer.c_custkey == done.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def q_set_difference(spark, sf):
+    # SET1 shape: bad = all - good (scraper.py:36); the 'good' side is the
+    # even-keyed customers so the difference is non-empty
+    events, customer = _t(spark, sf, "events"), _t(spark, sf, "customer")
+    good = customer.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_custkey").alias("uid"))
+    return events.select(F.col("user_id").alias("uid")).distinct().join(good, "uid", "left_anti")
+
+
+def q_first_occurrence_dedup(spark, sf):
+    events = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_politeness_schedule(spark, sf):
+    events = _t(spark, sf, "events")
+    wave = events.select(
+        F.col("user_id").alias("host"), F.col("event_id").alias("seq")
+    )
+    sched = with_schedule(wave)  # default crawl_delay 1.0 (crawler.py:150)
+    now, _deferred = split_by_budget(sched, budget_s=5.0)
+    return now.select(
+        F.col("host").alias("user_id"),
+        F.col("seq").alias("event_id"),
+        F.col("slot").cast("long").alias("slot"),
+        F.col("sched_time").cast("double").alias("sched_time"),
+    )
+
+
+def q_code_normalization(spark, sf):
+    part = _t(spark, sf, "part")
+    codes = F.split(F.col("p_name"), " ")
+    norm = F.array_join(
+        F.array_sort(
+            F.array_distinct(F.filter(F.transform(codes, lambda c: F.trim(c)), lambda c: c != ""))
+        ),
+        "_",
+    )
+    return part.select("p_partkey", norm.alias("norm_code"))
+
+
+def q_clean_text(spark, sf):
+    documents = _t(spark, sf, "documents")
+    return documents.select("doc_id", clean_text_builtin(F.col("text")).alias("cleaned"))
+
+
+def q_exclude_filter(spark, sf):
+    documents = _t(spark, sf, "documents")
+    patterns = [r"slow", r"dup$", r"window.*window"]
+    return documents.filter(~U.excluded(F.col("text"), patterns)).select("doc_id", "source")
+
+
+def q_url_canonicalize(spark, sf):
+    documents = _t(spark, sf, "documents")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.edu/cat/p"), (F.col("doc_id") % 7).cast("string"), F.lit(".html")
+    )
+    m = F.col("doc_id") % 5
+    href = (
+        F.when(m == 0, F.concat(F.lit("/cat/x"), F.col("doc_id").cast("string"), F.lit(".html#frag")))
+        .when(m == 1, F.concat(F.lit("rel"), F.col("doc_id").cast("string"), F.lit(".html")))
+        .when(m == 2, F.lit("mailto:reg@example.edu"))
+        .when(m == 3, F.concat(F.lit("https://ext.org/e"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("//cdn.example.edu/c"), F.col("doc_id").cast("string")))
+    )
+    df = documents.select("doc_id", page_url.alias("page_url"), href.alias("href"))
+    df = df.withColumn("h2", U.strip_fragment(F.col("href"))).filter(U.is_followable(F.col("h2")))
+    df = df.withColumn("full_url", U.absolutize(F.col("page_url"), F.col("h2")))
+    return df.select(
+        "doc_id",
+        "full_url",
+        U.host_of(F.col("full_url")).alias("host"),
+        U.section_key(F.col("full_url")).alias("section_key"),
+    )
+
+
+def q_stratified_topk(spark, sf):
+    documents = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        documents.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_top_hits(spark, sf):
+    documents = _t(spark, sf, "documents")
+    return documents.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(120).select("doc_id", "n_chars")
+
+
+def q_count_metrics(spark, sf):
+    documents = _t(spark, sf, "documents")
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_merge_upsert(spark, sf):
+    documents = _t(spark, sf, "documents")
+    existing = documents.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4")).select(
+        "doc_id", "text", "lang"
+    )
+    scraped = documents.filter(F.col("source").isin("src3", "src4", "src5", "src6")).select(
+        "doc_id", F.upper(F.col("text")).alias("text"), F.lit("xx").alias("lang")
+    )
+    t, s = existing.alias("t"), scraped.alias("s")
+    j = t.join(s, F.col("t.doc_id") == F.col("s.doc_id"), "full_outer")
+    matched = F.col("t.doc_id").isNotNull() & F.col("s.doc_id").isNotNull()
+    return j.select(
+        F.coalesce(F.col("t.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+        F.when(matched | F.col("t.doc_id").isNull(), F.col("s.text")).otherwise(F.col("t.text")).alias("text"),
+        F.when(matched | F.col("t.doc_id").isNull(), F.col("s.lang")).otherwise(F.col("t.lang")).alias("lang"),
+        matched.alias("was_updated"),
+    )
+
+
+def q_label_explode_validate(spark, sf):
+    part = _t(spark, sf, "part")
+    labels = part.select(
+        F.col("p_partkey").alias("course_id"), F.explode(F.split(F.col("p_name"), " ")).alias("taxonomy_id")
+    )
+    valid = labels.groupBy("taxonomy_id").count().filter(F.col("count") >= 100).select("taxonomy_id")
+    return labels.join(valid, "taxonomy_id", "left_semi").select("course_id", "taxonomy_id")
+
+
+def q_windowed_rollup(spark, sf):
+    events = _t(spark, sf, "events")
+    hour = F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("epoch_hour")
+    return events.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_span_flatten(spark, sf):
+    documents = _t(spark, sf, "documents")
+    docs = docs_from_documents(documents)
+    return (
+        docs.select("doc_id", F.explode("spans").alias("sp"))
+        .groupBy("doc_id", F.col("sp.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def q_exact_dedup(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_jaccard_pairs(spark, sf):
+    # max_shingle_df caps ubiquitous shingles before the self-join — the
+    # hot-key guard that keeps the pair space from going quadratic
+    return D.jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.8, max_shingle_df=100
+    ).select("doc_a", "doc_b")
+
+
+def q_minhash_signatures(spark, sf):
+    return D.minhash_signatures(_t(spark, sf, "documents"), n=3, k=8)
+
+
+def q_minhash_lsh_dedup(spark, sf):
+    # rows-only check: the banding trick isn't ANSI-SQL-friendly; the
+    # verified-jaccard output IS cross-checked by q_jaccard_pairs
+    return D.minhash_lsh_dedup(_t(spark, sf, "documents"), n=3, k=16, bands=4, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"), bits=32)
+
+
+def q_embedding_neardup(spark, sf):
+    return D.embedding_near_dup(
+        _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+        threshold=0.35,
+    ).select("id_a", "id_b")
+
+
+_QUERY_VEC_ID = 0
+
+
+def _query_vec(spark, sf):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return SIM.brute_force_topk(emb, _query_vec(spark, sf), k=10).select("vec_id")
+
+
+def q_ann_lsh_topk(spark, sf):
+    # rows-only: approximate by construction (bucket pruning)
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return SIM.lsh_topk(emb, _query_vec(spark, sf), k=10, n_planes=4).select("vec_id")
+
+
+def q_token_stats(spark, sf):
+    documents = _t(spark, sf, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        TS.token_count(t).cast("long").alias("n_tokens"),
+        TS.subword_estimate(t).cast("long").alias("n_subwords"),
+        F.round(TS.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TS.punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id(spark, sf):
+    documents = _t(spark, sf, "documents")
+    return documents.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf):
+    documents = _t(spark, sf, "documents")
+    return documents.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_task_anti_join": q_task_anti_join,
+        "q_set_difference": q_set_difference,
+        "q_first_occurrence_dedup": q_first_occurrence_dedup,
+        "q_politeness_schedule": q_politeness_schedule,
+        "q_code_normalization": q_code_normalization,
+        "q_clean_text": q_clean_text,
+        "q_exclude_filter": q_exclude_filter,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_stratified_topk": q_stratified_topk,
+        "q_top_hits": q_top_hits,
+        "q_count_metrics": q_count_metrics,
+        "q_merge_upsert": q_merge_upsert,
+        "q_label_explode_validate": q_label_explode_validate,
+        "q_windowed_rollup": q_windowed_rollup,
+        "q_span_flatten": q_span_flatten,
+        "q_exact_dedup": q_exact_dedup,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "q_simhash": q_simhash,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_token_stats": q_token_stats,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (ANSI SQL for DuckDB over the same parquet views)
+# --------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+           ELSE [array_to_string(t, ' ')] END) AS s
+    FROM toks)
+  WHERE s != '')
+"""
+
+
+def _hex2int_sql(expr: str) -> str:
+    """Portable hex→int for an 8-hex-char expression (matches Spark's
+    conv(x,16,10))."""
+    terms = []
+    for i in range(8):
+        terms.append(
+            f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    h = _hex2int_sql("md5(tok)")
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END)" for i in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {h} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM votes
+"""
+
+
+_MARKERS = {
+    "en": "['the','and','of','to','in']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','la','et','les','des']",
+    "de": "['der','die','und','das','nicht']",
+}
+
+
+def _lang_id_sql() -> str:
+    scores = ",\n  ".join(
+        f"len(list_filter(t, x -> list_contains({m}, x))) AS s_{l}" for l, m in _MARKERS.items()
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sc AS (SELECT doc_id, {scores} FROM toks)
+SELECT doc_id,
+  CASE WHEN s_de >= greatest(s_en, s_es, s_fr) AND s_de >= 1 THEN 'de'
+       WHEN s_en >= greatest(s_es, s_fr) AND s_en >= 1 THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= 1 THEN 'es'
+       WHEN s_fr >= 1 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM sc
+"""
+
+
+_STOPWORDS_SQL = "['the','a','of','to','and','in','is','for','on','with']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+
+    out["q_task_anti_join"] = """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+    out["q_set_difference"] = """
+SELECT DISTINCT user_id AS uid FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+"""
+
+    out["q_first_occurrence_dedup"] = """
+SELECT user_id, event_type, event_id AS first_event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+    out["q_politeness_schedule"] = """
+SELECT user_id, event_id, slot, (slot - 1) * 1.0 AS sched_time FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS slot
+  FROM events)
+WHERE (slot - 1) * 1.0 < 5.0
+"""
+
+    out["q_code_normalization"] = """
+SELECT p_partkey,
+  array_to_string(list_sort(list_distinct(
+    list_filter(list_transform(string_split(p_name, ' '), c -> trim(c)), c -> c != ''))), '_') AS norm_code
+FROM part
+"""
+
+    out["q_clean_text"] = r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+    replace(replace(text, chr(160), ' '), chr(8226), ' '),
+    '\n', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+    out["q_exclude_filter"] = r"""
+SELECT doc_id, source FROM documents
+WHERE NOT (regexp_matches(text, 'slow') OR regexp_matches(text, 'dup$')
+           OR regexp_matches(text, 'window.*window'))
+"""
+
+    out["q_url_canonicalize"] = """
+WITH base AS (
+  SELECT doc_id,
+    'https://' || source || '.example.edu/cat/p' || (doc_id % 7) || '.html' AS page_url,
+    CASE doc_id % 5
+      WHEN 0 THEN '/cat/x' || doc_id || '.html#frag'
+      WHEN 1 THEN 'rel' || doc_id || '.html'
+      WHEN 2 THEN 'mailto:reg@example.edu'
+      WHEN 3 THEN 'https://ext.org/e' || doc_id
+      ELSE '//cdn.example.edu/c' || doc_id END AS href
+  FROM documents),
+stripped AS (
+  SELECT doc_id, page_url,
+    CASE WHEN contains(href, '#') THEN split_part(href, '#', 1) ELSE href END AS h2
+  FROM base),
+kept AS (
+  SELECT * FROM stripped
+  WHERE h2 != '' AND NOT starts_with(h2, 'mailto:') AND NOT starts_with(h2, 'tel:')),
+abs AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(h2, '^[a-zA-Z][a-zA-Z0-9+.\\-]*:') THEN h2
+         WHEN starts_with(h2, '//') THEN 'https:' || h2
+         WHEN starts_with(h2, '/') THEN regexp_extract(page_url, '^(https://[^/]+)', 1) || h2
+         ELSE regexp_extract(page_url, '^(https://[^/]+)', 1) || '/' || h2 END AS full_url
+  FROM kept)
+SELECT doc_id, full_url,
+  regexp_extract(full_url, '^[a-z]+://([^/]+)', 1) AS host,
+  CASE WHEN contains(rtrim(regexp_extract(full_url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/'), '/')
+       THEN regexp_replace(rtrim(regexp_extract(full_url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/'), '/[^/]*$', '')
+       ELSE rtrim(regexp_extract(full_url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/') END AS section_key
+FROM abs
+"""
+
+    out["q_stratified_topk"] = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents) WHERE rk <= 5
+"""
+
+    out["q_top_hits"] = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 120
+"""
+
+    out["q_count_metrics"] = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+    out["q_merge_upsert"] = """
+WITH existing AS (
+  SELECT doc_id, text, lang FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+scraped AS (
+  SELECT doc_id, upper(text) AS text, 'xx' AS lang FROM documents
+  WHERE source IN ('src3','src4','src5','src6'))
+SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+  CASE WHEN s.doc_id IS NOT NULL THEN s.text ELSE t.text END AS text,
+  CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+  (t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL) AS was_updated
+FROM existing t FULL OUTER JOIN scraped s ON t.doc_id = s.doc_id
+"""
+
+    out["q_label_explode_validate"] = """
+WITH labels AS (
+  SELECT p_partkey AS course_id, unnest(string_split(p_name, ' ')) AS taxonomy_id FROM part),
+valid AS (SELECT taxonomy_id FROM labels GROUP BY 1 HAVING count(*) >= 100)
+SELECT course_id, taxonomy_id FROM labels WHERE taxonomy_id IN (SELECT taxonomy_id FROM valid)
+"""
+
+    out["q_windowed_rollup"] = """
+SELECT floor(epoch(ts) / 3600)::BIGINT AS epoch_hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    out["q_span_flatten"] = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, source, unnest(range(0, greatest(ceil(len(t) / 8.0)::INT, 1))) AS c
+  FROM toks)
+SELECT 'doc:' || doc_id AS doc_id,
+  CASE WHEN c % 5 = 4 THEN 'media'
+       WHEN c % 5 = 0 THEN 'course_title'
+       ELSE 'course_description' END AS kind,
+  count(*) AS n_spans
+FROM chunks GROUP BY 1, 2
+"""
+
+    out["q_exact_dedup"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+    out["q_jaccard_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+capped AS (
+  SELECT doc_id, s FROM sh
+  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b FROM common
+JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+"""
+
+    _h32 = _hex2int_sql("md5(s)")
+    mh_cols = ",\n  ".join(
+        f"min(({2 * i + 3} * h + {7 * i + 1}) % 2147483647) AS mh{i}" for i in range(8)
+    )
+    out["q_minhash_signatures"] = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_h32} AS h FROM sh)
+SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
+"""
+
+    out["q_simhash"] = _simhash_sql()
+
+    out["q_embedding_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+    out["q_ann_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT vec_id FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id LIMIT 10
+"""
+
+    out["q_token_stats"] = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+  len(t)::BIGINT AS n_tokens,
+  list_aggregate(list_transform(t, w -> CASE WHEN length(w) <= 4 THEN 1
+                                             ELSE ceil(length(w) / 4.0)::INT END), 'sum')::BIGINT AS n_subwords,
+  round(CASE WHEN len(t) > 0
+             THEN len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0 / len(t)
+             ELSE 0.0 END, 6) AS stop_ratio,
+  round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio
+FROM toks
+"""
+
+    out["q_lang_id"] = _lang_id_sql()
+
+    out["q_fingerprint"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_min([md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) for i in range(1, len(t)-1)])
+       ELSE md5(array_to_string(t, ' ')) END AS fp
+FROM toks
+"""
+
+    return out

@@ -1,0 +1,110 @@
+"""Per-round benchmark. Prints ONE JSON line.
+
+Two parts:
+1. headline: the full crawl-extract-store loop on a bench-scale synthetic
+   world (the engine's real workload) — reports wall seconds and
+   urls_fetched_parsed_per_sec (the BASELINE.json north metric).
+2. driver-testdata queries at $SPARK_GRAFT_SF_DIR (default sf0.1) —
+   per-query wall seconds.
+
+Cores come from $SPARK_GRAFT_CPUS (default all). Scaling evidence
+(local[8] vs local[32]) is produced separately by tools/scaling_bench.py
+and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from course_scraper_spark.session import get_spark
+from course_scraper_spark.operators.frontier import crawl_sources
+from course_scraper_spark.operators.spans import scrape_targets
+from course_scraper_spark.synth.world import WorldSpec, build_pages, build_schemas, build_sources
+
+BENCH_QUERIES = [
+    "q_task_anti_join",
+    "q_first_occurrence_dedup",
+    "q_exact_dedup",
+    "q_minhash_signatures",
+    "q_jaccard_pairs",
+    "q_token_stats",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_windowed_rollup",
+    "q_span_flatten",
+    "q_ann_topk",
+    "q_embedding_neardup",
+    "q_url_canonicalize",
+    "q_merge_upsert",
+]
+
+
+def crawl_extract_bench(spark, n_hosts=12, total_pages=1500):
+    spec = WorldSpec(n_hosts=n_hosts, total_pages=total_pages)
+    pages_pdf = build_pages(spec)
+    pages = spark.createDataFrame(pages_pdf).repartition(spark.sparkContext.defaultParallelism).cache()
+    pages.count()  # materialize outside the timed section (generation != crawl)
+    sources = build_sources(spec)
+    schemas = spark.createDataFrame(build_schemas(spec))
+
+    t0 = time.time()
+    res = crawl_sources(spark, sources, pages)
+    seen = res.seen.cache()
+    n_seen = seen.count()
+    targets = seen.select("source_id", "url")
+    out = scrape_targets(targets, pages, schemas)
+    n_docs = out.docs.count()
+    n_courses = out.courses.count()
+    wall = time.time() - t0
+    return {
+        "wall_sec": round(wall, 2),
+        "urls_seen": n_seen,
+        "docs_parsed": n_docs,
+        "courses": n_courses,
+        "urls_per_sec": round(n_seen / wall, 2),
+        "fetched_parsed_per_sec": round((n_seen + n_docs) / wall, 2),
+        "n_waves": len(res.metrics),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    crawl = crawl_extract_bench(spark)
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+    total_q = round(sum(timings.values()), 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_extract_store_plus_queries_wall",
+                "value": round(crawl["wall_sec"] + total_q, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

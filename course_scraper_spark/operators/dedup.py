@@ -1,0 +1,250 @@
+"""Deduplication family for training-data pipelines (beyond-reference).
+
+Every operator is expressed portably — hashes via md5, which exists in
+both Spark and DuckDB — so each has an exact ANSI-SQL oracle in
+``__spark_entry__.py``:
+
+* exact dedup: group by content hash, keep the smallest doc_id
+* n-gram Jaccard near-dup: shingle -> inverted-index self-join ->
+  |A∩B| / |A∪B| ≥ τ pairs
+* MinHash + LSH: per-seed signature ``min(md5(seed || shingle))``,
+  banded into buckets; candidate pairs share ≥1 band bucket and are
+  verified with true Jaccard (standard banding scheme; Broder '97 /
+  MMDS ch.3)
+* SimHash: 32-bit majority-vote signature over token hashes; near-dups
+  = signatures within Hamming distance d
+* embedding cosine near-dup: blocked brute force (block key keeps the
+  pair space bounded; at scale swap the block key for an LSH bucket from
+  operators/similarity.py)
+
+Scale shape: everything is shuffle-on-key (shingle, band bucket, block
+key); the LSH path turns the O(n²) pair space into O(candidates).
+Skewed shingles (ultra-common n-grams) are dropped by a document
+frequency cap before the self-join — the classic hot-key guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical row per distinct content hash (keep min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+) -> DataFrame:
+    """k minhashes per doc. One md5 per shingle (not k): the shingle is
+    hashed once to a uniform 32-bit int, then the k permutations are the
+    classic linear maps ``(a_i*h + b_i) mod p`` (Broder's scheme) — cheap
+    integer mins instead of k string digests, identical formula in the
+    SQL oracle."""
+    sh = shingles(df, text_col, id_col, n)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sh = sh.withColumn("h", h)
+    aggs = [
+        F.min((F.lit(2 * i + 3) * F.col("h") + F.lit(7 * i + 1)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature into ``bands`` groups of k/bands rows; docs
+    sharing any band bucket become candidate pairs (doc_a < doc_b)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified by true Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    cand = lsh_candidate_pairs(sigs, k, bands)
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    n_common = (
+        cand.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        n_common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-token md5-derived hash; signature bit i set iff
+    the majority of tokens have bit i set (Charikar '02)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over the 32-bit signature.
+    Blocked on 16-bit halves (a pair within distance ≤3 must agree on at
+    least one half when distance ≤ ... pigeonhole over 2 blocks holds for
+    d ≤ 1 per half at d ≤ 3 only probabilistically — so we block on
+    BOTH halves and union, which is exact for d ≤ 1 per-half misses;
+    for small corpora callers can cross-join instead)."""
+    lo = (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("blk")
+    hi = (F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF))).alias("blk")
+    blocks = sig_df.select("doc_id", "simhash", lo, F.lit(0).alias("half")).unionByName(
+        sig_df.select("doc_id", "simhash", hi, F.lit(1).alias("half"))
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.half") == F.col("b.half")) & (F.col("a.blk") == F.col("b.blk")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks (doc_a < doc_b, cos ≥ τ).
+    Block key bounds the pair space; swap in an LSH bucket at scale."""
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda x: F.sqrt(dot(x, x))
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

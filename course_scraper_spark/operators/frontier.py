@@ -224,8 +224,17 @@ def crawl_sources(
     make_root_filter: bool = True,
     candidate_partitions: int | None = None,
     checkpoint: bool = True,
+    state_store=None,
+    resume: bool = False,
+    max_waves: int | None = None,
 ) -> CrawlResult:
-    """Run the full BFS to fixpoint for every source in one wave loop."""
+    """Run the full BFS to fixpoint for every source in one wave loop.
+
+    With ``state_store`` (a :class:`~course_scraper_spark.storage.crawl_state
+    .CrawlStateStore`) every wave commits its seen-set delta as a tagged
+    snapshot; ``resume=True`` continues from the last committed wave.
+    ``max_waves`` stops early after N committed waves (kill/resume tests).
+    """
     runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
     if not runtimes:
@@ -237,20 +246,36 @@ def crawl_sources(
         F.col("url").alias("p_url"), "host", "html", "status_code", "fetch_mode"
     )
 
-    # wave 0: roots, seq 1 per source
-    wave = spark.createDataFrame(
-        [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
-        "source_id string, url string, host string, depth int, seq long",
-    )
-    seen = wave.withColumn("visited", F.lit(True))
-    if checkpoint:
-        seen = seen.localCheckpoint(eager=True)
-        wave = seen.drop("visited")
-    seq_base: dict[str, int] = {rt.source.source_id: 1 for rt in runtimes}
+    resumed = None
+    if state_store is not None and resume:
+        resumed = state_store.latest_wave()
+    if resumed is not None:
+        depth, seq_base, snap = resumed
+        seen = state_store.read_seen(snap)
+        wave = seen.filter(F.col("visited") & (F.col("depth") == depth)).select(
+            "source_id", "url", "host", "depth", "seq"
+        )
+    else:
+        # wave 0: roots, seq 1 per source
+        wave = spark.createDataFrame(
+            [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
+            "source_id string, url string, host string, depth int, seq long",
+        )
+        seen = wave.withColumn("visited", F.lit(True))
+        seq_base = {rt.source.source_id: 1 for rt in runtimes}
+        depth = 0
+        if state_store is not None:
+            state_store.save_wave(0, seen, seq_base)
+            seen = state_store.read_seen()
+        elif checkpoint:
+            seen = seen.localCheckpoint(eager=True)
+            wave = seen.drop("visited")
     max_depth_overall = max(rt.source.crawl_depth for rt in runtimes)
-    depth = 0
+    waves_run = 0
 
     while depth < max_depth_overall:
+        if max_waves is not None and waves_run >= max_waves:
+            break
         # -- expand filter: generic never expands AT max depth
         #    (crawler.py:235); MC waves are already < max by construction.
         expandable = (
@@ -289,6 +314,9 @@ def crawl_sources(
             )
         )
         cand = cand.filter(scope_ok & ~F.rlike(F.col("full_url"), F.col("excl_regex")))
+        # one wave = one pass through fetch+extract: the candidate set
+        # feeds previews, the anti-join AND the ranking collect, so pin it
+        cand = cand.persist()
 
         # MC side-channel: previews -> seen without visiting (crawler.py:211-212)
         previews = (
@@ -337,16 +365,14 @@ def crawl_sources(
         ranked, totals = assign_seq_with_totals(
             first, "source_id", ["parent_seq", "link_pos"], seq_col="rel_seq"
         )
-        if sum(totals.values()) == 0 and previews.isEmpty():
-            break
-
-        base_df = F.broadcast(
-            spark.createDataFrame(
-                [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
-            )
-        ) if totals else None
+        n_new = sum(totals.values())
 
         if totals:
+            base_df = F.broadcast(
+                spark.createDataFrame(
+                    [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
+                )
+            )
             new_wave = (
                 ranked.join(base_df, "source_id")
                 .select(
@@ -362,15 +388,22 @@ def crawl_sources(
         else:
             new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
 
-        seen = seen.unionByName(new_wave.withColumn("visited", F.lit(True))).unionByName(previews)
-        if checkpoint:
-            seen = seen.localCheckpoint(eager=True)
+        delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
+        if state_store is not None:
+            state_store.save_wave(next_depth, delta, seq_base)
+            seen = state_store.read_seen()
+        else:
+            seen = seen.unionByName(delta)
+            if checkpoint:
+                seen = seen.localCheckpoint(eager=True)
+        cand.unpersist()
         wave = seen.filter(F.col("visited") & (F.col("depth") == next_depth)).select(
             "source_id", "url", "host", "depth", "seq"
         )
-        result.metrics.append(WaveMetrics(depth=next_depth, wave_size=sum(totals.values()), new_urls=sum(totals.values())))
+        result.metrics.append(WaveMetrics(depth=next_depth, wave_size=n_new, new_urls=n_new))
         depth = next_depth
-        if sum(totals.values()) == 0:
+        waves_run += 1
+        if n_new == 0:
             break
 
     result.seen = seen

@@ -1,0 +1,45 @@
+"""Resumable crawl state: seen-set snapshots + per-wave checkpoint tags.
+
+The reference resumes by skipping whole stages whose outputs already
+exist in the DB (``src/main.py:165-176,189-251``). Our engine is finer:
+every BFS wave commits the seen-set delta to a bucketed snapshot table,
+tagged ``wave_{k}`` and carrying the per-source sequence counters in the
+commit metadata — so a killed crawl resumes from the last completed wave
+with identical final state (tests/test_resume.py).
+
+The seen table buckets by host (explicit hash partitioning): the
+per-wave anti-join and the bloom sidecar probe both align with this
+layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snaptable import SnapshotTable
+
+
+class CrawlStateStore:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.seen = SnapshotTable.create(
+            spark, os.path.join(root, "url_seen"), bucket_col="host", n_buckets=n_buckets
+        )
+
+    def save_wave(self, depth: int, delta: DataFrame, seq_base: dict[str, int]) -> int:
+        return self.seen.append(
+            delta, tag=f"wave_{depth}", meta={"depth": depth, "seq_base": seq_base}
+        )
+
+    def latest_wave(self) -> tuple[int, dict[str, int], int] | None:
+        """(depth, seq_base, snapshot_id) of the last committed wave."""
+        for c in reversed(self.seen.commits):
+            if c.tag and c.tag.startswith("wave_"):
+                return int(c.meta["depth"]), dict(c.meta["seq_base"]), c.id
+        return None
+
+    def read_seen(self, snapshot_id: int | None = None) -> DataFrame:
+        return self.seen.read(snapshot_id=snapshot_id)

@@ -1,0 +1,253 @@
+"""Snapshot tables: Iceberg-style semantics over plain parquet.
+
+The sandbox ships no Iceberg runtime jars, so this module implements the
+subset of Iceberg behavior the engine's storage design needs — on a real
+cluster every call here maps 1:1 onto an Iceberg catalog table
+(``MERGE INTO``, snapshot reads, tags) and this file becomes a thin
+wrapper; the engine code does not change.
+
+Semantics provided:
+
+* **append / overwrite / merge commits** with an append-only JSON
+  snapshot log (atomic tmp+rename), each commit optionally *tagged*
+  (``run_{id}_wave_{k}`` checkpoint tags — SURVEY.md §4.5).
+* **snapshot / tag reads** (time travel) — the resume path.
+* **bucket partitioning**: tables may declare ``bucket_col`` —
+  rows carry ``_bucket = pmod(xxhash64(col), n_buckets)`` and a MERGE
+  rewrites ONLY the buckets present in its source (partition-scoped
+  rewrite = the Iceberg copy-on-write behavior). This is the explicit
+  hash-partition-on-host design the north rule requires: url_seen and
+  urls tables bucket by host, so a wave's MERGE touches just the hosts
+  in that wave.
+* **MERGE INTO** (storage.py:227-246 K1, :248-276 K2, merge_courses.py
+  K6): match on key columns (null-safe), update named columns on match,
+  insert unmatched source rows.
+
+Reads reconstruct the live file set per bucket by replaying the log:
+append adds a dir to a bucket's list, overwrite/merge replaces the
+affected buckets' lists. Every data file holds a single ``_bucket``
+run (we repartition by bucket before writing) so parquet min/max stats
+prune bucket-filtered reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "snapshots.json"
+ALL = "__all__"
+
+
+@dataclass
+class Commit:
+    id: int
+    op: str  # create | append | overwrite | merge
+    dir: str | None
+    buckets: list[int] | None  # None = all buckets affected
+    tag: str | None = None
+    meta: dict = field(default_factory=dict)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._log_path = os.path.join(path, _LOG)
+        if os.path.exists(self._log_path):
+            with open(self._log_path) as f:
+                raw = json.load(f)
+            self.props = raw["props"]
+            self.commits = [Commit(**c) for c in raw["commits"]]
+        else:
+            self.props = {}
+            self.commits = []
+
+    # -- creation ----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str | None = None,
+        n_buckets: int = 16,
+    ) -> "SnapshotTable":
+        os.makedirs(path, exist_ok=True)
+        t = cls(spark, path)
+        if not t.commits:
+            t.props = {"bucket_col": bucket_col, "n_buckets": n_buckets}
+            t.commits.append(Commit(id=0, op="create", dir=None, buckets=None))
+            t._flush()
+        return t
+
+    def _flush(self) -> None:
+        tmp = self._log_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"props": self.props, "commits": [c.__dict__ for c in self.commits]}, f
+            )
+        os.replace(tmp, self._log_path)
+
+    # -- helpers -----------------------------------------------------------
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        bc = self.props.get("bucket_col")
+        if bc is None:
+            return df.withColumn("_bucket", F.lit(0))
+        n = int(self.props["n_buckets"])
+        return df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(bc)), F.lit(n)).cast("int"))
+
+    def _write_dir(self, df: DataFrame) -> tuple[str, list[int]]:
+        b = self._bucketed(df).repartition(F.col("_bucket"))
+        rel = f"s{len(self.commits)}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, "data", rel)
+        b.write.mode("overwrite").parquet(out)
+        buckets = [
+            r._bucket
+            for r in self.spark.read.parquet(out).select("_bucket").distinct().collect()
+        ]
+        return rel, sorted(buckets)
+
+    def _commit(self, op: str, rel: str | None, buckets, tag, meta=None) -> int:
+        cid = len(self.commits)
+        self.commits.append(
+            Commit(id=cid, op=op, dir=rel, buckets=buckets, tag=tag, meta=meta or {})
+        )
+        self._flush()
+        return cid
+
+    # -- writes ------------------------------------------------------------
+    def append(self, df: DataFrame, tag: str | None = None, meta: dict | None = None) -> int:
+        rel, buckets = self._write_dir(df)
+        return self._commit("append", rel, buckets, tag, meta)
+
+    def overwrite(self, df: DataFrame, tag: str | None = None, meta: dict | None = None) -> int:
+        rel, _ = self._write_dir(df)
+        return self._commit("overwrite", rel, None, tag, meta)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+        insert: bool = True,
+        tag: str | None = None,
+    ) -> int:
+        """MERGE INTO: null-safe match on ``on``; matched target rows get
+        ``update_cols`` overwritten from source; unmatched source rows are
+        inserted (when ``insert``). Rewrites only the buckets the source
+        touches (plus, for bucketless tables, the whole table)."""
+        target = self.read()
+        cols = target.columns
+        src = source.select(*cols)
+
+        bc = self.props.get("bucket_col")
+        if bc is not None and target.head(1):
+            src_bucketed = self._bucketed(src)
+            touched = sorted(
+                r._bucket for r in src_bucketed.select("_bucket").distinct().collect()
+            )
+            tgt_bucketed = self._bucketed(target)
+            scope = tgt_bucketed.filter(F.col("_bucket").isin(touched)).drop("_bucket")
+        else:
+            touched = None
+            scope = target
+
+        cond = [scope[k].eqNullSafe(src[k]) for k in on]
+        joined = scope.alias("t").join(src.alias("s"), cond, "full_outer")
+
+        matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
+        t_only = F.col(f"s.{on[0]}").isNull()
+        # update_cols: None = update every column on match; [] = update none
+        # (insert-only MERGE, K1 semantics, storage.py:227-246)
+        upd = set(cols if update_cols is None else update_cols)
+        out_cols = []
+        for c in cols:
+            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+            merged_val = (
+                F.when(matched, sc if c in upd else tc)
+                .when(t_only, tc)
+                .otherwise(sc)  # source-only -> insert
+            )
+            out_cols.append(merged_val.alias(c))
+        result = joined.select(*out_cols)
+        if not insert:
+            keys = scope.select(*on)
+            result = result.join(keys, on, "left_semi")
+
+        rel, buckets = self._write_dir(result)
+        return self._commit(
+            "merge", rel, touched if touched is not None else None, tag
+        )
+
+    # -- reads -------------------------------------------------------------
+    def _live_dirs(self, snapshot_id: int | None = None) -> dict[str, set[int] | None]:
+        """dir -> set of live buckets (None = every bucket in the dir)."""
+        upto = snapshot_id if snapshot_id is not None else len(self.commits) - 1
+
+        # replay: per-bucket list of contributing dirs
+        per_bucket: dict[int | str, list[str]] = {}
+        for c in self.commits[: upto + 1]:
+            if c.op == "create" or c.dir is None:
+                continue
+            if c.op == "append":
+                for b in c.buckets or []:
+                    per_bucket.setdefault(b, []).append(c.dir)
+            elif c.op == "overwrite":
+                per_bucket = {}
+                # overwrite replaces everything; its own buckets come from the files
+                # (we recorded buckets=None, so mark dir live for all its buckets)
+                per_bucket["__overwrite__"] = [c.dir]
+            elif c.op == "merge":
+                if c.buckets is None:
+                    per_bucket = {"__overwrite__": [c.dir]}
+                else:
+                    for b in c.buckets:
+                        per_bucket[b] = [c.dir]
+
+        out: dict[str, set[int] | None] = {}
+        for b, dirs in per_bucket.items():
+            for d in dirs:
+                if b == "__overwrite__":
+                    out[d] = None
+                else:
+                    cur = out.setdefault(d, set())
+                    if cur is not None:
+                        cur.add(b)
+        return out
+
+    def read(self, snapshot_id: int | None = None, tag: str | None = None) -> DataFrame:
+        if tag is not None:
+            matches = [c.id for c in self.commits if c.tag == tag]
+            if not matches:
+                raise KeyError(f"no snapshot tagged {tag!r}")
+            snapshot_id = matches[-1]
+        live = self._live_dirs(snapshot_id)
+        dfs = []
+        for rel, buckets in live.items():
+            df = self.spark.read.parquet(os.path.join(self.path, "data", rel))
+            if buckets is not None:
+                df = df.filter(F.col("_bucket").isin(sorted(buckets)))
+            dfs.append(df.drop("_bucket"))
+        if not dfs:
+            raise ValueError("empty table read requires a schema; append first")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def is_empty(self) -> bool:
+        return not self._live_dirs()
+
+    def latest_tag(self, prefix: str) -> tuple[str, int] | None:
+        for c in reversed(self.commits):
+            if c.tag and c.tag.startswith(prefix):
+                return c.tag, c.id
+        return None
+
+    def snapshot_ids(self) -> list[int]:
+        return [c.id for c in self.commits]

@@ -1,0 +1,74 @@
+"""Dedup family: crafted near-dups in, known pairs out."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from course_scraper_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different words about spark shuffle partitions and codegen stages"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "another unrelated document discussing bloom filters and politeness budgets"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    out = {r.content_hash: (r.keep_id, r.n_dups) for r in D.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 1&4 collapse
+    assert (1, 2) in out.values()
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, n=3, threshold=0.7).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recovers_pairs(docs):
+    got = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_dedup(docs, n=3, k=16, bands=8, threshold=0.7).collect()}
+    # exact dups always collide in every band; near-dups at j≈0.85 collide
+    # with high probability at 8 bands of 2 rows
+    assert (1, 4) in got
+    assert got <= {(1, 2), (1, 4), (2, 4)}
+
+
+def test_lsh_candidates_superset_of_verified(docs):
+    sigs = D.minhash_signatures(docs, n=3, k=16)
+    cand = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sigs, k=16, bands=8).collect()}
+    verified = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_dedup(docs, n=3, k=16, bands=8, threshold=0.7).collect()}
+    assert verified <= cand
+
+
+def test_simhash_properties(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sigs[1] == sigs[4]  # identical text -> identical signature
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    sig = D.simhash(docs)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sig, max_hamming=4).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.04, 0.0], 0),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),       # same vector, different block
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.embedding_near_dup(emb, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}  # block key keeps (1,4) apart by design

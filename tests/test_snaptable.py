@@ -1,0 +1,79 @@
+"""Snapshot-table semantics: append/overwrite/merge commits, time travel,
+tags, bucket-scoped merge rewrites."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from course_scraper_spark.storage.snaptable import SnapshotTable
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t1"))
+    s1 = t.append(spark.createDataFrame([(1, "a")], ["id", "v"]), tag="first")
+    s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    assert rows(t.read()) == [(1, "a"), (2, "b")]
+    assert rows(t.read(snapshot_id=s1)) == [(1, "a")]
+    assert rows(t.read(tag="first")) == [(1, "a")]
+    assert s2 > s1
+
+
+def test_overwrite_replaces_everything(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t2"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.overwrite(spark.createDataFrame([(9, "z")], ["id", "v"]))
+    assert rows(t.read()) == [(9, "z")]
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t3"))
+    t.append(spark.createDataFrame([(1, "a", "old"), (2, "b", "keep")], ["id", "k", "v"]))
+    src = spark.createDataFrame([(1, "a", "new"), (3, "c", "ins")], ["id", "k", "v"])
+    t.merge(src, on=["id"], update_cols=["v"], insert=True)
+    assert rows(t.read()) == [(1, "a", "new"), (2, "b", "keep"), (3, "c", "ins")]
+
+
+def test_merge_insert_only(spark, tmp_path):
+    # K1 semantics: WHEN NOT MATCHED INSERT, matched rows untouched
+    t = SnapshotTable.create(spark, str(tmp_path / "t4"))
+    t.append(spark.createDataFrame([(1, "orig")], ["id", "v"]))
+    t.merge(spark.createDataFrame([(1, "CHANGED"), (2, "new")], ["id", "v"]), on=["id"], update_cols=[], insert=True)
+    assert rows(t.read()) == [(1, "orig"), (2, "new")]
+
+
+def test_merge_update_only(spark, tmp_path):
+    # K2 semantics: WHEN MATCHED UPDATE, no inserts
+    t = SnapshotTable.create(spark, str(tmp_path / "t5"))
+    t.append(spark.createDataFrame([(1, True), (2, True)], ["id", "flag"]))
+    t.merge(spark.createDataFrame([(2, False), (99, False)], ["id", "flag"]), on=["id"], update_cols=["flag"], insert=False)
+    assert rows(t.read()) == [(1, True), (2, False)]
+
+
+def test_bucketed_merge_touches_only_source_buckets(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t6"), bucket_col="host", n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"h{i}.edu", f"u{i}", 0) for i in range(40)], ["host", "url", "n"]
+    )
+    t.append(base)
+    src = spark.createDataFrame([("h3.edu", "u3", 99), ("h3.edu", "uNEW", 1)], ["host", "url", "n"])
+    cid = t.merge(src, on=["host", "url"], update_cols=["n"], insert=True)
+    commit = t.commits[cid]
+    assert commit.op == "merge"
+    assert commit.buckets is not None and len(commit.buckets) < 8  # scoped rewrite
+    out = {(r.host, r.url): r.n for r in t.read().collect()}
+    assert out[("h3.edu", "u3")] == 99
+    assert out[("h3.edu", "uNEW")] == 1
+    assert len(out) == 41
+    assert out[("h7.edu", "u7")] == 0
+
+
+def test_persistence_across_instances(spark, tmp_path):
+    p = str(tmp_path / "t7")
+    t = SnapshotTable.create(spark, p)
+    t.append(spark.createDataFrame([(1,)], ["id"]), tag="w0")
+    t2 = SnapshotTable(spark, p)
+    assert rows(t2.read()) == [(1,)]
+    assert t2.latest_tag("w")[0] == "w0"
