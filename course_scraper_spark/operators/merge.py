@@ -63,6 +63,11 @@ def merge_courses(
         src = src.dropDuplicates(["k_code", "k_title"])
     src = src.select(*TABLE_COLS)
 
+    if table.is_empty():
+        n = src.count()
+        table.append(src)
+        return MergeStats(inserted=n, updated=0)
+
     existing = table.read()
     matched_keys = src.select("k_code", "k_title").join(
         existing.select("k_code", "k_title").distinct(), ["k_code", "k_title"], "left_semi"

@@ -52,6 +52,7 @@ RECORD_TYPE = T.ArrayType(
             T.StructField("course_credits", T.StringType(), True),
             T.StructField("course_media", T.StringType(), True),
             T.StructField("_source_url", T.StringType(), True),
+            T.StructField("record_pos", T.IntegerType(), True),
         ]
     )
 )
@@ -106,7 +107,7 @@ def _parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["doc_id"].append(url)
             rows["spans"].append(spans)
             rows["records"].append(
-                [tuple(r.get(f) for f in _RECORD_FIELDS) for r in records]
+                [tuple(r.get(f) for f in _RECORD_FIELDS) + (i,) for i, r in enumerate(records)]
             )
             rows["n_items"].append(len(items))
         yield pd.DataFrame(rows)

@@ -1,0 +1,96 @@
+"""Structured Streaming forms of the engine's stateful semantics.
+
+The reference is batch-iterative (BFS waves — SURVEY.md §2.10), so the
+core engine is a driver loop of batch jobs. These wrappers exist for the
+continuous-ingest deployment shape:
+
+* ``streaming_seen_dedup`` — the URL-seen set as a *streaming* stateful
+  dedup: ``dropDuplicates(url)`` keeps the seen-state in the state store
+  across micro-batches (the streaming analogue of the J1 anti-join).
+  With a watermark on ``discovered_at`` the state is GC-able: URLs older
+  than the horizon age out (acceptable when the batch seen-table is the
+  source of truth and the stream is a front-line filter).
+* ``streaming_event_rollup`` — watermarked tumbling-window aggregation
+  (late data handled by the watermark), the streaming twin of
+  ``q_windowed_rollup``.
+* ``crawl_on_new_seeds`` — ``foreachBatch``: every micro-batch of newly
+  arrived seed rows triggers one batch crawl into the same snapshot
+  tables the batch pipeline uses — streams and batch share storage, so
+  resume/lineage semantics are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEED_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("root_url", T.StringType()),
+        T.StructField("crawl_depth", T.IntegerType()),
+    ]
+)
+
+URL_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("discovered_at", T.TimestampType()),
+    ]
+)
+
+
+def streaming_seen_dedup(
+    spark: SparkSession, input_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """First sighting of each (source_id, url) across all micro-batches."""
+    stream = spark.readStream.schema(URL_STREAM_SCHEMA).json(input_dir)
+    return stream.withWatermark("discovered_at", watermark).dropDuplicates(
+        ["source_id", "url"]
+    )
+
+
+def streaming_event_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def crawl_on_new_seeds(
+    spark: SparkSession,
+    seeds_dir: str,
+    process_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+):
+    """foreachBatch bridge: new seed rows -> one batch crawl per
+    micro-batch. Caller supplies ``process_batch(seed_rows_df, batch_id)``
+    (usually a closure over pipeline.run_pipeline)."""
+    stream = spark.readStream.schema(SEED_STREAM_SCHEMA).json(seeds_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -55,7 +55,11 @@ def test_course_records_equality(scrape_output, oracle_results):
 
     got: dict = {}
     for r in scrape_output.courses.collect():
-        d = {k: v for k, v in r.asDict().items() if k != "source_id" and v is not None}
+        d = {
+            k: v
+            for k, v in r.asDict().items()
+            if k not in ("source_id", "record_pos") and v is not None
+        }
         got.setdefault(r.source_id, []).append(d)
     for sid, (_, osc) in oracle_results.items():
         assert canon(got.get(sid, [])) == canon(osc.records), sid
