@@ -20,6 +20,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   A2     count metrics             q_count_metrics
   K6/J5  merge upsert              q_merge_upsert
   AR4/F11 label explode+validate   q_label_explode_validate
+  AR1    JSON payload parse        q_json_extract
   §2.10  windowed rollup           q_windowed_rollup
   AR6    span synthesis/flatten    q_span_flatten
   dedup  exact                     q_exact_dedup
@@ -245,6 +246,14 @@ def q_label_explode_validate(spark, sf):
     return labels.join(valid, "taxonomy_id", "left_semi").select("course_id", "taxonomy_id")
 
 
+def q_json_extract(spark, sf):
+    # AR1 (scraper.py:109-114): raw JSON payload -> typed rows via
+    # from_json, then a relational agg over the extracted field
+    events = _t(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k int").getField("k")
+    return events.select(k.alias("k_val")).groupBy("k_val").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_windowed_rollup(spark, sf):
     events = _t(spark, sf, "events")
     hour = F.floor(F.unix_timestamp(F.col("ts")) / 3600).alias("epoch_hour")
@@ -271,7 +280,7 @@ def q_jaccard_pairs(spark, sf):
     # max_shingle_df caps ubiquitous shingles before the self-join — the
     # hot-key guard that keeps the pair space from going quadratic
     return D.jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=0.8, max_shingle_df=100
+        _t(spark, sf, "documents"), n=3, threshold=0.8, max_shingle_df=50
     ).select("doc_a", "doc_b")
 
 
@@ -362,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_count_metrics": q_count_metrics,
         "q_merge_upsert": q_merge_upsert,
         "q_label_explode_validate": q_label_explode_validate,
+        "q_json_extract": q_json_extract,
         "q_windowed_rollup": q_windowed_rollup,
         "q_span_flatten": q_span_flatten,
         "q_exact_dedup": q_exact_dedup,
@@ -569,6 +579,11 @@ valid AS (SELECT taxonomy_id FROM labels GROUP BY 1 HAVING count(*) >= 100)
 SELECT course_id, taxonomy_id FROM labels WHERE taxonomy_id IN (SELECT taxonomy_id FROM valid)
 """
 
+    out["q_json_extract"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, count(*) AS n
+FROM events GROUP BY 1
+"""
+
     out["q_windowed_rollup"] = """
 SELECT floor(epoch(ts) / 3600)::BIGINT AS epoch_hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -597,7 +612,7 @@ FROM documents GROUP BY 1
 WITH {_SHINGLES_CTE},
 capped AS (
   SELECT doc_id, s FROM sh
-  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100)),
+  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50)),
 sz AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c

@@ -31,30 +31,45 @@ TEXT_KINDS = ("course_title", "course_description", "course_code", "course_credi
 MEDIA_FIELD_NAMES = ("course_media", "media")
 
 
+def _page_scan(html: str, base_selector: str):
+    """ONE regex pass over the page: full element list + per-block
+    element slices (block membership by position range). The hot parse
+    path used to rescan every block for records and again for spans —
+    3 passes per page; this shares the single pass."""
+    blocks = find_blocks(html, base_selector)
+    elems = scan_elements(html)
+    per_block = []
+    for start, inner in blocks:
+        end = start + len(inner)
+        per_block.append([e for e in elems if start <= e.pos < end])
+    return elems, per_block
+
+
+def _record_from_elems(elems: list, schema: dict) -> dict[str, Any]:
+    rec: dict[str, Any] = {}
+    for f in schema.get("fields", []):
+        matches = select(elems, f["selector"])
+        if not matches:
+            continue
+        ftype = f.get("type", "text")
+        if ftype == "text":
+            rec[f["name"]] = _html.unescape(matches[0].text)
+        elif ftype == "attribute":
+            rec[f["name"]] = matches[0].attrs.get(f.get("attribute", ""), "")
+        elif ftype == "list":
+            inner_name = (f.get("fields") or [{"name": "text"}])[0].get("name", "text")
+            rec[f["name"]] = [{inner_name: _html.unescape(m.text)} for m in matches]
+    return rec
+
+
 def extract_records(html: str, schema: dict) -> list[dict[str, Any]]:
     """One dict per baseSelector block, raw (pre-clean) field values.
 
     text/attribute fields: first match wins; list fields: every match, as
     ``[{inner_name: text}, ...]``.
     """
-    out = []
-    for start, inner in find_blocks(html, schema["baseSelector"]):
-        elems = scan_elements(inner, base_pos=start)
-        rec: dict[str, Any] = {}
-        for f in schema.get("fields", []):
-            matches = select(elems, f["selector"])
-            if not matches:
-                continue
-            ftype = f.get("type", "text")
-            if ftype == "text":
-                rec[f["name"]] = _html.unescape(matches[0].text)
-            elif ftype == "attribute":
-                rec[f["name"]] = matches[0].attrs.get(f.get("attribute", ""), "")
-            elif ftype == "list":
-                inner_name = (f.get("fields") or [{"name": "text"}])[0].get("name", "text")
-                rec[f["name"]] = [{inner_name: _html.unescape(m.text)} for m in matches]
-        out.append(rec)
-    return out
+    _, per_block = _page_scan(html, schema["baseSelector"])
+    return [_record_from_elems(elems, schema) for elems in per_block]
 
 
 def clean_records(items: list[dict]) -> list[dict]:
@@ -122,16 +137,15 @@ def finalize_records(items: list[dict], source_url: str) -> tuple[list[dict], li
 # --------------------------------------------------------------------------
 
 
-def _span_elems(html: str, schema: dict) -> list[tuple[str, Elem]]:
+def _span_pairs(all_elems: list, per_block: list, schema: dict) -> list[tuple[str, Elem]]:
     """(kind, elem) pairs for every span-bearing element, document order."""
     pairs: list[tuple[str, Elem]] = []
-    for e in scan_elements(html):
+    for e in all_elems:
         if e.tag == "div" and "nav" in e.classes:
             pairs.append(("nav", e))
         elif e.tag == "div" and "footer" in e.classes:
             pairs.append(("boilerplate", e))
-    for start, inner in find_blocks(html, schema["baseSelector"]):
-        elems = scan_elements(inner, base_pos=start)
+    for elems in per_block:
         for f in schema.get("fields", []):
             kind = "media" if f["name"] in MEDIA_FIELD_NAMES or f.get("type") == "attribute" else f["name"]
             for m in select(elems, f["selector"]):
@@ -140,13 +154,9 @@ def _span_elems(html: str, schema: dict) -> list[tuple[str, Elem]]:
     return pairs
 
 
-def extract_spans(html: str, schema: dict) -> list[dict]:
-    """The interleaved text+media span sequence of one page
-    (BASELINE.json input_hint shape). Text spans are clean_text'd; media
-    spans carry ``media_ref`` and NULL text. ``offset`` = position in
-    document order."""
+def _spans_from_pairs(pairs: list[tuple[str, Elem]]) -> list[dict]:
     spans = []
-    for kind, e in _span_elems(html, schema):
+    for kind, e in pairs:
         if kind == "media":
             ref = e.attrs.get("src", "")
             spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)})
@@ -160,3 +170,22 @@ def extract_spans(html: str, schema: dict) -> list[dict]:
                 }
             )
     return spans
+
+
+def extract_spans(html: str, schema: dict) -> list[dict]:
+    """The interleaved text+media span sequence of one page
+    (BASELINE.json input_hint shape). Text spans are clean_text'd; media
+    spans carry ``media_ref`` and NULL text. ``offset`` = position in
+    document order."""
+    all_elems, per_block = _page_scan(html, schema["baseSelector"])
+    return _spans_from_pairs(_span_pairs(all_elems, per_block, schema))
+
+
+def extract_page(html: str, schema: dict) -> tuple[list[dict[str, Any]], list[dict]]:
+    """Fused hot path: (raw records, spans) from ONE page scan — the UDF
+    entry point; semantically identical to calling
+    :func:`extract_records` + :func:`extract_spans`."""
+    all_elems, per_block = _page_scan(html, schema["baseSelector"])
+    records = [_record_from_elems(elems, schema) for elems in per_block]
+    spans = _spans_from_pairs(_span_pairs(all_elems, per_block, schema))
+    return records, spans

@@ -117,6 +117,17 @@ def excluded(url: Column, patterns: list[str]) -> Column:
     return reduce(lambda a, b: a | b, (url.rlike(p) for p in patterns))
 
 
+def catalog_url_filter(url: Column) -> Column:
+    """F9 (config_generator.py:36,183-189): keep if any catalog keyword in
+    the lowered URL AND '.edu' in it AND 'pdf' not in it."""
+    lowered = F.lower(url)
+    return (
+        lowered.rlike("catalog|bulletin|course|curriculum|description|current")
+        & lowered.contains(".edu")
+        & ~lowered.contains("pdf")
+    )
+
+
 def section_key(url: Column) -> Column:
     """Stratification key: path minus last segment (crawler.py:77-82)."""
     p = F.regexp_replace(path_of(url), r"/+$", "")

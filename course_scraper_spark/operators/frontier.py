@@ -227,6 +227,8 @@ def crawl_sources(
     state_store=None,
     resume: bool = False,
     max_waves: int | None = None,
+    use_bloom: bool = False,
+    bloom_buckets: int = 64,
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
 
@@ -234,6 +236,11 @@ def crawl_sources(
     .CrawlStateStore`) every wave commits its seen-set delta as a tagged
     snapshot; ``resume=True`` continues from the last committed wave.
     ``max_waves`` stops early after N committed waves (kill/resume tests).
+
+    ``use_bloom`` maintains the per-bucket bloom sidecar
+    (operators/bloom.py) across waves and prefilters candidates before
+    the exact anti-join — identical results (bloom has no false
+    negatives; positives hit the exact join), fewer anti-join probes.
     """
     runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
@@ -273,6 +280,18 @@ def crawl_sources(
     max_depth_overall = max(rt.source.crawl_depth for rt in runtimes)
     waves_run = 0
 
+    bloom_key = F.concat_ws("|", F.col("source_id"), F.col("url"))
+    sidecar_rows: list = []
+    if use_bloom:
+        from .bloom import build_delta
+
+        sidecar_rows = [
+            r.asDict()
+            for r in build_delta(
+                seen.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
+            ).collect()
+        ]
+
     while depth < max_depth_overall:
         if max_waves is not None and waves_run >= max_waves:
             break
@@ -283,9 +302,19 @@ def crawl_sources(
             .filter(F.col("is_mc") | (F.col("depth") < F.col("max_depth")))
         )
 
+        # Fetch = lookup into the synthetic web. Broadcast the WAVE side:
+        # the page-body table must never shuffle (2GB of html through the
+        # exchange per wave measured 20-50s of IO noise). Inner join ==
+        # left join here: URLs without a page row have null status and
+        # are dropped by fetch_ok anyway (they stay in seen — the
+        # dead-fetch path). On a live cluster this join is replaced by
+        # the HTTP fetch inside the UDF, so no join exists at all; the
+        # broadcast is a synthetic-harness artifact, not the scale design.
+        wave_slim = expandable.select("source_id", "url", "seq", "is_mc")
         fetched = (
-            expandable.join(pages_slim, expandable.url == pages_slim.p_url, "left")
-            .filter(fetch_ok_col())  # failed/missing pages: seen, no links
+            F.broadcast(wave_slim)
+            .join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
+            .filter(fetch_ok_col())
             .select(
                 "source_id",
                 F.col("url").alias("page_url"),
@@ -294,8 +323,9 @@ def crawl_sources(
                 "is_mc",
             )
         )
-        # spread skewed hosts before the Python stage (salting by row hash)
-        fetched = fetched.repartition(parts)
+        # NOTE: the scan partitioning of pages carries to the UDF stage; a
+        # skewed host is already spread because pages were written/cached
+        # partition-uniform, so no extra repartition pass is needed.
 
         links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
 
@@ -352,9 +382,21 @@ def crawl_sources(
             )
         ).select("source_id", F.col("full_url").alias("url"), "parent_seq", "link_pos")
 
-        new_urls = queue_cand.join(
-            seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
-        )
+        if use_bloom:
+            from .bloom import dedup_with_bloom
+
+            new_urls = dedup_with_bloom(
+                queue_cand.withColumn("_k", bloom_key),
+                seen,
+                sidecar_rows,
+                keys=["source_id", "url"],
+                url_col="_k",
+                n_buckets=bloom_buckets,
+            ).drop("_k")
+        else:
+            new_urls = queue_cand.join(
+                seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
+            )
         # first-occurrence dedup inside the wave: earliest (parent_seq,
         # link_pos) wins — the queue-insertion order of the reference.
         first = (
@@ -389,17 +431,34 @@ def crawl_sources(
             new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
 
         delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
+        if use_bloom:
+            from .bloom import build_delta
+
+            sidecar_rows += [
+                r.asDict()
+                for r in build_delta(
+                    delta.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
+                ).collect()
+            ]
         if state_store is not None:
             state_store.save_wave(next_depth, delta, seq_base)
             seen = state_store.read_seen()
+            wave = seen.filter(F.col("visited") & (F.col("depth") == next_depth)).select(
+                "source_id", "url", "host", "depth", "seq"
+            )
         else:
-            seen = seen.unionByName(delta)
+            # checkpoint ONLY the delta: truncates its lineage to a leaf
+            # (the delta's plan references the previous seen, so without
+            # truncation the wave plans grow exponentially) while
+            # materializing just the new rows. seen stays a union of
+            # per-wave leaves — the in-memory analogue of snapshot appends.
             if checkpoint:
-                seen = seen.localCheckpoint(eager=True)
+                delta = delta.localCheckpoint(eager=True)
+            seen = seen.unionByName(delta)
+            wave = delta.filter(F.col("visited")).select(
+                "source_id", "url", "host", "depth", "seq"
+            )
         cand.unpersist()
-        wave = seen.filter(F.col("visited") & (F.col("depth") == next_depth)).select(
-            "source_id", "url", "host", "depth", "seq"
-        )
         result.metrics.append(WaveMetrics(depth=next_depth, wave_size=n_new, new_urls=n_new))
         depth = next_depth
         waves_run += 1

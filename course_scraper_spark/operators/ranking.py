@@ -41,13 +41,27 @@ def assign_seq_with_totals(
     order_cols: list[str],
     seq_col: str = "seq",
     num_partitions: int | None = None,
+    small_threshold: int = 200_000,
 ) -> tuple[DataFrame, dict]:
     """Dense 1-based rank over ``order_cols`` within each ``group_col``,
-    without a per-group global sort. Also returns {group: row_count}
-    (free — derived from the offsets the algorithm collects anyway).
+    without a per-group global sort. Also returns {group: row_count}.
+
+    Adaptive: small inputs (≤ ``small_threshold`` rows total — known from
+    the totals count this function needs anyway) rank with one per-group
+    window (single shuffle, no sampling pass); big inputs use the
+    two-phase range ranking so no group ever funnels through one task.
 
     Rows must be unique on (group_col, *order_cols).
     """
+    totals_rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    totals = {r[group_col]: r["_cnt"] for r in totals_rows}
+    n_total = sum(totals.values())
+    if n_total == 0:
+        return df.withColumn(seq_col, F.lit(None).cast("long")), totals
+    if n_total <= small_threshold:
+        w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(seq_col, F.row_number().over(w).cast("long")), totals
+
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(group_col), *[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("_pid", F.spark_partition_id())

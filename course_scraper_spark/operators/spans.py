@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.jsoncss import clean_records, extract_records, extract_spans, finalize_records
+from ..functions.jsoncss import clean_records, extract_page, finalize_records
 from .frontier import fetch_ok_col
 
 SPAN_TYPE = T.ArrayType(
@@ -77,40 +77,46 @@ _RECORD_FIELDS = (
 )
 
 
-def _parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    schema_cache: dict[str, dict] = {}
-    for pdf in batches:
-        rows = {k: [] for k in ("source_id", "doc_id", "spans", "records", "n_items")}
-        for sid, url, html, schema_json in zip(
-            pdf["source_id"], pdf["url"], pdf["html"], pdf["schema_json"]
-        ):
-            schema = schema_cache.get(sid)
-            if schema is None:
-                schema = schema_cache[sid] = json.loads(schema_json)
-            items = extract_records(html, schema)
-            if not items:
-                # reference: "No extracted content" -> error row, no doc
-                # (scraper.py:103-106)
+def _make_parser(schemas_bc):
+    """Parser UDF with the per-source JSON-CSS schemas captured via a
+    Spark broadcast — schema bytes never ride the rows through Arrow."""
+
+    def _parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        schema_cache: dict[str, dict] = {
+            sid: json.loads(sj) for sid, sj in schemas_bc.value.items()
+        }
+        for pdf in batches:
+            rows = {k: [] for k in ("source_id", "doc_id", "spans", "records", "n_items")}
+            for sid, url, html in zip(pdf["source_id"], pdf["url"], pdf["html"]):
+                schema = schema_cache.get(sid)
+                if schema is None:
+                    continue  # schema-less source: reference fails it earlier
+                items, raw_spans = extract_page(html, schema)
+                if not items:
+                    # reference: "No extracted content" -> error row, no
+                    # doc (scraper.py:103-106)
+                    rows["source_id"].append(sid)
+                    rows["doc_id"].append(url)
+                    rows["spans"].append(None)
+                    rows["records"].append(None)
+                    rows["n_items"].append(0)
+                    continue
+                items = clean_records(items)
+                records, _errors = finalize_records(items, url)
+                spans = [
+                    (sp["kind"], sp["text"], sp["media_ref"], sp["offset"])
+                    for sp in raw_spans
+                ]
                 rows["source_id"].append(sid)
                 rows["doc_id"].append(url)
-                rows["spans"].append(None)
-                rows["records"].append(None)
-                rows["n_items"].append(0)
-                continue
-            items = clean_records(items)
-            records, _errors = finalize_records(items, url)
-            spans = [
-                (sp["kind"], sp["text"], sp["media_ref"], sp["offset"])
-                for sp in extract_spans(html, schema)
-            ]
-            rows["source_id"].append(sid)
-            rows["doc_id"].append(url)
-            rows["spans"].append(spans)
-            rows["records"].append(
-                [tuple(r.get(f) for f in _RECORD_FIELDS) + (i,) for i, r in enumerate(records)]
-            )
-            rows["n_items"].append(len(items))
-        yield pd.DataFrame(rows)
+                rows["spans"].append(spans)
+                rows["records"].append(
+                    [tuple(r.get(f) for f in _RECORD_FIELDS) + (i,) for i, r in enumerate(records)]
+                )
+                rows["n_items"].append(len(items))
+            yield pd.DataFrame(rows)
+
+    return _parse_pages
 
 
 @dataclass
@@ -128,25 +134,39 @@ def scrape_targets(
 ) -> ScrapeOutput:
     """targets: (source_id, url). pages: synthetic web. schemas:
     (source_id, schema_json)."""
-    spark = targets.sparkSession
-    parts = parse_partitions or spark.sparkContext.defaultParallelism
-
     # F7: skip 'archive' URLs before any fetch (scraper.py:84)
     current = targets.filter(~F.col("url").contains("archive"))
 
+    # Broadcast the slim target-URL side so the page-body table never
+    # moves through a shuffle (html is the heavy column; an SMJ here
+    # writes the whole corpus to exchange disk). The per-source schema
+    # joins on AFTER the fetch so schema_json is never part of the
+    # broadcast. Inner join == left join: URLs with no page row fail
+    # fetch_ok and land in the bad flags via the anti-join below. On a
+    # live cluster the fetch happens inside the UDF (network), so this
+    # join only exists in the synthetic harness.
+    slim = current.select("source_id", "url")
     fetched = (
-        current.join(F.broadcast(schemas), "source_id")
+        F.broadcast(slim)
         .join(
             pages.select(F.col("url").alias("p_url"), "html", "status_code", "fetch_mode"),
-            current.url == F.col("p_url"),
-            "left",
+            slim.url == F.col("p_url"),
+            "inner",
         )
         .filter(fetch_ok_col())
-        .select("source_id", "url", "html", "schema_json")
-        .repartition(parts)  # spread mega-hosts before the Python stage
+        .select("source_id", "url", "html")
     )
+    if parse_partitions is not None:
+        # opt-in only: shuffles the html payload. Usually unnecessary —
+        # the UDF parallelism follows the pages scan splits, so size the
+        # page store's files (or files.maxPartitionBytes) instead.
+        fetched = fetched.repartition(parse_partitions)
 
-    parsed = fetched.mapInPandas(_parse_pages, _PARSE_SCHEMA)
+    # schemas ride a Spark broadcast into the UDF closure, not the rows
+    spark = targets.sparkSession
+    schemas_map = {r["source_id"]: r["schema_json"] for r in schemas.collect()}
+    schemas_bc = spark.sparkContext.broadcast(schemas_map)
+    parsed = fetched.mapInPandas(_make_parser(schemas_bc), _PARSE_SCHEMA)
 
     docs = parsed.filter(F.col("n_items") > 0).select("source_id", "doc_id", "spans")
 

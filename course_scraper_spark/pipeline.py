@@ -84,8 +84,13 @@ def run_pipeline(
         else:
             save_urls(urls_table, seen_urls)
 
+        # K3: schema sink/scan (storage.py:280-298) — persist then read
+        # back so the scrape consumes the stored copy
+        schemas_table = SnapshotTable.create(spark, os.path.join(workdir, "schemas"))
+        schemas_table.overwrite(schemas.select("source_id", "schema_json"))
+
         # scrape -> docs spans + courses + flags
-        scrape = scrape_targets(seen_urls, pages, schemas)
+        scrape = scrape_targets(seen_urls, pages, schemas_table.read())
         docs_table = SnapshotTable.create(
             spark, os.path.join(workdir, "docs"), bucket_col="doc_id", n_buckets=16
         )

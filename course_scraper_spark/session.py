@@ -42,6 +42,14 @@ def get_spark(
         # in operators/frontier.py).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles by SIZE, not down-to-parallelism: with
+        # parallelismFirst (the default) every tiny stage keeps one task
+        # per core, so iterative wave loops pay cores × stages × waves in
+        # pure task overhead — measured 3× wall-clock at local[32] on the
+        # scaling bench. Size-based coalescing gives big stages plenty of
+        # partitions anyway.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # All Python in this engine is Arrow-batched pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -55,6 +55,11 @@ class WorldSpec:
     total_pages: int = 400
     zipf_s: float = 1.2
     seed: int = 42
+    # bench-realism knobs (defaults preserve the small fixture worlds):
+    branching: int = 3      # tree fan-out per page
+    extra_links: int = 0    # additional in-scope cross links per page
+    filler_paras: int = 0   # boilerplate paragraphs inflating page bytes
+    max_courses: int = 5    # course blocks per detail page ∈ [0, max)
 
     def host_name(self, k: int) -> str:
         if k == 1 and self.n_hosts > 1:
@@ -167,7 +172,8 @@ def _generic_links(spec: WorldSpec, k: int, i: int, n_pages: int) -> list[str]:
     host = spec.host_name(k)
     n_sections = max(1, n_pages // 8)
     hrefs: list[str] = []
-    for j in (3 * i + 1, 3 * i + 2, 3 * i + 3):
+    b = spec.branching
+    for j in range(b * i + 1, b * i + b + 1):
         if j < n_pages:
             form = _h(spec.seed, "form", host, i, j) % 3
             url = page_url(spec, k, j, n_pages)
@@ -180,6 +186,9 @@ def _generic_links(spec: WorldSpec, k: int, i: int, n_pages: int) -> list[str]:
     cross = (7 * i + 5) % n_pages
     hrefs.append(page_url(spec, k, cross, n_pages) + "#section-2")  # fragment decoy
     hrefs.append("/catalog/")  # back to root (dup, dedup path)
+    for t in range(spec.extra_links):
+        j = _h(spec.seed, "xl", host, i, t) % n_pages
+        hrefs.append(page_url(spec, k, j, n_pages))
     # decoys — filters F1/F2/F5 and the dead-fetch path
     r = _h(spec.seed, "decoy", host, i)
     hrefs.append(f"mailto:registrar@{host}")
@@ -201,15 +210,19 @@ def generic_page_html(spec: WorldSpec, k: int, i: int, n_pages: int) -> str:
     host = spec.host_name(k)
     is_hub = i < max(2, n_pages // 6)
     r = _h(spec.seed, "page", host, i)
-    n_courses = 0 if is_hub else (r % 5)
+    n_courses = 0 if is_hub else (r % spec.max_courses)
     blocks = "\n".join(_course_block(host, i, b, spec.seed) for b in range(n_courses))
     anchors = "\n".join(
         f'<a href="{href}">link-{n}</a>' for n, href in enumerate(_generic_links(spec, k, i, n_pages))
     )
+    filler = "\n".join(
+        f'<p class="filler">{DESC_POOL[(r + fp) % len(DESC_POOL)] * 3}</p>'
+        for fp in range(spec.filler_paras)
+    )
     return (
         f"<html><head><title>{host} catalog page {i}</title></head>\n<body>\n"
         f'<div class="nav">Catalog Home • Help (opens a new window)</div>\n'
-        f"{blocks}\n<p class=\"links\">\n{anchors}\n</p>\n"
+        f"{blocks}\n<p class=\"links\">\n{anchors}\n</p>\n{filler}\n"
         f'<div class="footer">Page (opens a new window) &copy; {host}</div>\n'
         f"</body></html>"
     )
@@ -234,7 +247,8 @@ def mc_page_html(spec: WorldSpec, k: int, i: int, n_pages: int) -> str:
     as plain anchors (crawler.py:183-226 branch)."""
     host = spec.host_name(k)
     rows = []
-    for j in (3 * i + 1, 3 * i + 2, 3 * i + 3):
+    b = spec.branching
+    for j in range(b * i + 1, b * i + b + 1):
         if j < n_pages:
             rows.append(
                 f'<tr><td colspan="2"><a href="/content.php?catoid=1&navoid={j}">Section {j}</a></td></tr>'
@@ -307,8 +321,10 @@ def build_pages(spec: WorldSpec) -> pd.DataFrame:
             for i in range(n_pages):
                 r = _h(spec.seed, "decoy", host, i)
                 if r % 4 == 0:
+                    # keyed on the term, not i: colliding search URLs from
+                    # different pages must render identical rows
                     rows.append(
-                        (f"https://{host}/catalog/search?q=term{r % 50}", host, aux_page_html(spec, host, "search", i), 200, "static", "aux")
+                        (f"https://{host}/catalog/search?q=term{r % 50}", host, aux_page_html(spec, host, "search", r % 50), 200, "static", "aux")
                     )
                 if r % 5 == 0:
                     rows.append(
