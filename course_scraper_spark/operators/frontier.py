@@ -70,6 +70,7 @@ _LINKS_SCHEMA = T.StructType(
         T.StructField("source_id", T.StringType(), False),
         T.StructField("page_url", T.StringType(), False),
         T.StructField("parent_seq", T.LongType(), False),
+        T.StructField("parent_depth", T.IntegerType(), False),
         T.StructField("link_pos", T.IntegerType(), False),
         T.StructField("stream", T.StringType(), False),
         T.StructField("href", T.StringType(), False),
@@ -84,15 +85,17 @@ def _extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     'mc_listing' = tr>td[colspan=2]>a (crawler.py:214), emitted only for
     Modern-Campus sources.
     """
+    cols = ("source_id", "page_url", "parent_seq", "parent_depth", "link_pos", "stream", "href")
     for pdf in batches:
-        out = {k: [] for k in ("source_id", "page_url", "parent_seq", "link_pos", "stream", "href")}
-        for sid, url, seq, html, is_mc in zip(
-            pdf["source_id"], pdf["page_url"], pdf["parent_seq"], pdf["html"], pdf["is_mc"]
+        out = {k: [] for k in cols}
+        for sid, url, seq, dep, html, is_mc in zip(
+            pdf["source_id"], pdf["page_url"], pdf["parent_seq"], pdf["depth"], pdf["html"], pdf["is_mc"]
         ):
             for pos, href in enumerate(extract_hrefs(html)):
                 out["source_id"].append(sid)
                 out["page_url"].append(url)
                 out["parent_seq"].append(seq)
+                out["parent_depth"].append(dep)
                 out["link_pos"].append(pos)
                 out["stream"].append("anchor")
                 out["href"].append(href)
@@ -101,6 +104,7 @@ def _extract_links(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out["source_id"].append(sid)
                     out["page_url"].append(url)
                     out["parent_seq"].append(seq)
+                    out["parent_depth"].append(dep)
                     out["link_pos"].append(pos)
                     out["stream"].append("mc_listing")
                     out["href"].append(href)
@@ -229,6 +233,8 @@ def crawl_sources(
     max_waves: int | None = None,
     use_bloom: bool = False,
     bloom_buckets: int = 64,
+    metrics_store=None,
+    run_id: str = "run",
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
 
@@ -310,7 +316,19 @@ def crawl_sources(
         # dead-fetch path). On a live cluster this join is replaced by
         # the HTTP fetch inside the UDF, so no join exists at all; the
         # broadcast is a synthetic-harness artifact, not the scale design.
-        wave_slim = expandable.select("source_id", "url", "seq", "is_mc")
+        if metrics_store is not None:
+            # per-host-bucket lineage (north rule): fetched/failed per
+            # host per wave, including URLs with no page row at all
+            from .metrics import fetch_stats_per_host
+
+            joined_m = expandable.select("source_id", "url", "host").join(
+                pages_slim.select("p_url", "status_code", "fetch_mode"),
+                F.col("url") == F.col("p_url"),
+                "left",
+            )
+            metrics_store.record_wave(run_id, depth, fetch_stats_per_host(joined_m))
+
+        wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
         fetched = (
             F.broadcast(wave_slim)
             .join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
@@ -319,6 +337,7 @@ def crawl_sources(
                 "source_id",
                 F.col("url").alias("page_url"),
                 F.col("seq").alias("parent_seq"),
+                "depth",
                 "html",
                 "is_mc",
             )
@@ -473,3 +492,182 @@ def crawl_source(
     spark: SparkSession, source: SourceConfig, pages: DataFrame, **kw
 ) -> CrawlResult:
     return crawl_sources(spark, [source], pages, **kw)
+
+
+def crawl_sources_budgeted(
+    spark: SparkSession,
+    sources: list[SourceConfig],
+    pages: DataFrame,
+    robots: DataFrame | None = None,
+    round_budget_s: float = 60.0,
+    make_root_filter: bool = True,
+    max_rounds: int | None = None,
+) -> CrawlResult:
+    """Priority-frontier crawl with per-host politeness budgets.
+
+    The scale-mode loop (north-star "politeness scheduler + priority
+    frontier queue"): instead of fetching a whole BFS wave, each ROUND
+    schedules pending URLs per host (slot n fires at (n-1)·crawl_delay,
+    operators/politeness.py) and fetches only those whose start time fits
+    ``round_budget_s``; the excess stays in the frontier with its
+    original priority (seq) and is scheduled first next round — the
+    parallel form of the reference's serial crawl-delay sleeps
+    (crawler.py:150,168, render_utils.py:58).
+
+    The final seen SET equals the unbudgeted crawl exactly (budgets delay
+    fetches, never drop them — tests/test_budgeted_crawl.py); visit
+    ORDER follows the schedule instead of strict BFS FIFO, so equality
+    paths use :func:`crawl_sources`.
+    """
+    runtimes, failed = resolve_sources(spark, sources, pages)
+    result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
+    if not runtimes:
+        return result
+    dim = F.broadcast(_dim_df(spark, runtimes))
+    pages_slim = pages.select(
+        F.col("url").alias("p_url"), "host", "html", "status_code", "fetch_mode"
+    )
+
+    pending = spark.createDataFrame(
+        [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
+        "source_id string, url string, host string, depth int, seq long",
+    )
+    seen = pending.withColumn("visited", F.lit(True)).localCheckpoint(eager=True)
+    seq_base = {rt.source.source_id: 1 for rt in runtimes}
+    rounds = 0
+
+    from .politeness import split_by_budget, with_schedule
+
+    while rounds < (max_rounds if max_rounds is not None else 10_000):
+        rounds += 1
+        sched = with_schedule(pending, robots)  # slot by seq = priority order
+        now, deferred = split_by_budget(sched, round_budget_s)
+        now = now.drop("slot", "sched_time").localCheckpoint(eager=True)
+        if now.isEmpty():
+            break
+        deferred = deferred.localCheckpoint(eager=True)
+
+        expandable = now.join(dim, "source_id").filter(
+            F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
+        )
+        wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
+        fetched = (
+            F.broadcast(wave_slim)
+            .join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
+            .filter(fetch_ok_col())
+            .select(
+                "source_id",
+                F.col("url").alias("page_url"),
+                F.col("seq").alias("parent_seq"),
+                "depth",
+                "html",
+                "is_mc",
+            )
+        )
+        links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
+        cand = (
+            links.withColumn("href2", U.strip_fragment(F.col("href")))
+            .filter(U.is_followable(F.col("href2")))
+            .withColumn("full_url", U.absolutize(F.col("page_url"), F.col("href2")))
+        )
+        scope_ok = F.col("include_external") | (
+            (U.host_of(F.col("full_url")) == F.col("scope_domain"))
+            & (
+                U.path_of(F.col("full_url")).startswith(F.col("root_path"))
+                if make_root_filter
+                else F.lit(True)
+            )
+        )
+        cand = cand.filter(scope_ok & ~F.rlike(F.col("full_url"), F.col("excl_regex"))).persist()
+
+        previews = (
+            cand.filter(
+                F.col("is_mc")
+                & (F.col("stream") == "anchor")
+                & F.col("full_url").contains("preview_course_nopop.php")
+            )
+            .select("source_id", F.col("full_url").alias("url"))
+            .dropDuplicates(["source_id", "url"])
+            .join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            .select(
+                "source_id",
+                "url",
+                U.host_of(F.col("url")).alias("host"),
+                F.lit(None).cast("int").alias("depth"),
+                F.lit(None).cast("long").alias("seq"),
+                F.lit(False).alias("visited"),
+            )
+        )
+
+        # row-level depth gates (mixed depths within one round)
+        child_depth = F.col("parent_depth") + 1
+        queue_cand = cand.filter(
+            F.when(
+                F.col("is_mc"),
+                (F.col("stream") == "mc_listing")
+                & F.col("full_url").contains("content.php")
+                & (child_depth < F.col("max_depth")),
+            ).otherwise((F.col("stream") == "anchor") & (child_depth <= F.col("max_depth")))
+        ).select(
+            "source_id",
+            F.col("full_url").alias("url"),
+            "parent_seq",
+            "link_pos",
+            child_depth.cast("int").alias("depth"),
+            "max_depth",
+            "is_mc",
+        )
+        new_urls = queue_cand.join(
+            seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
+        )
+        first = (
+            new_urls.groupBy("source_id", "url")
+            .agg(F.min(F.struct("parent_seq", "link_pos", "depth", "max_depth", "is_mc")).alias("k"))
+            .select("source_id", "url", "k.parent_seq", "k.link_pos", "k.depth", "k.max_depth", "k.is_mc")
+        )
+        ranked, totals = assign_seq_with_totals(
+            first, "source_id", ["parent_seq", "link_pos"], seq_col="rel_seq"
+        )
+        n_new = sum(totals.values())
+        if totals:
+            base_df = F.broadcast(
+                spark.createDataFrame(
+                    [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
+                )
+            )
+            new_rows = ranked.join(base_df, "source_id").select(
+                "source_id",
+                "url",
+                U.host_of(F.col("url")).alias("host"),
+                "depth",
+                (F.col("rel_seq") + F.col("base")).alias("seq"),
+                "max_depth",
+                "is_mc",
+            )
+            for sid, n in totals.items():
+                seq_base[sid] = seq_base.get(sid, 0) + n
+        else:
+            new_rows = spark.createDataFrame(
+                [], "source_id string, url string, host string, depth int, seq long, max_depth int, is_mc boolean"
+            )
+
+        # generic rows AT max depth are seen-but-never-fetched
+        # (crawler.py:232-236): they enter seen, not the frontier
+        fetchable_new = new_rows.filter(
+            F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
+        ).select("source_id", "url", "host", "depth", "seq")
+        delta = (
+            new_rows.select("source_id", "url", "host", "depth", "seq")
+            .withColumn("visited", F.lit(True))
+            .unionByName(previews)
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(delta)
+        pending = deferred.unionByName(fetchable_new).localCheckpoint(eager=True)
+        cand.unpersist()
+        result.metrics.append(WaveMetrics(depth=rounds, wave_size=n_new, new_urls=n_new))
+        if n_new == 0 and deferred.isEmpty():
+            break
+
+    result.seen = seen
+    return result
