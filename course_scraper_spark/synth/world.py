@@ -383,12 +383,15 @@ def build_sources(spec: WorldSpec) -> list[SourceConfig]:
             continue
         excl = ["search", "archive"] if k % 3 == 0 else None
         base_exclude = f"https://{host}/" if k % 5 == 2 else None
+        # schema_url points at the first detail page (hub pages have no
+        # course blocks and would fail schema validation by design)
+        first_detail = min(max(2, sizes[k] // 6), sizes[k] - 1)
         out.append(
             SourceConfig(
                 source_id=f"LOCAL_{name}",
                 name=name,
                 root_url=f"https://{host}/catalog/",
-                schema_url=page_url(spec, k, min(3, sizes[k] - 1), sizes[k]),
+                schema_url=page_url(spec, k, first_detail, sizes[k]),
                 crawl_depth=4 + k % 3,
                 url_exclude_patterns=excl,
                 url_base_exclude=base_exclude,
