@@ -67,10 +67,12 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold."""
-    sh = shingles(df, text_col, id_col, n)
+    # the shingle set feeds the df-cap scan, the size agg AND both sides
+    # of the self-join — cache it or the n-gram expression runs 4x
+    sh = shingles(df, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,7 +153,7 @@ def minhash_lsh_dedup(
     """LSH candidates verified by true Jaccard ≥ threshold."""
     sigs = minhash_signatures(df, text_col, id_col, n, k)
     cand = lsh_candidate_pairs(sigs, k, bands)
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
