@@ -12,9 +12,12 @@ property-tested in tests/test_bloom.py.
 Layout mirrors the seen table's explicit hash partitioning: one filter
 blob per ``bucket = pmod(xxhash64(url), n_buckets)``, built wave-by-wave
 as *delta* blooms (append-only, like the seen table itself) and OR-merged
-by ``compact``. Blobs are numpy bitsets built/probed fully vectorized
-inside Arrow-batched UDFs; double hashing h1 + i*h2 over the 64-bit
-xxhash64 url key gives k probe positions without per-row Python.
+by ``compact``. The sidecar lives as a bucket-aligned DataFrame end to
+end — never collected to the driver, never captured in a task closure —
+and the probe is a bucket-cogrouped ``applyInPandas`` so each task sees
+only its own bucket's blobs. Blobs are numpy bitsets built/probed fully
+vectorized inside Arrow-batched UDFs; double hashing h1 + i*h2 over the
+64-bit xxhash64 url key gives k probe positions without per-row Python.
 
 Catalyst has a BloomFilterAggregate for runtime join pruning, but this
 sidecar is *persistent and incrementally updated* across waves — rebuilt
@@ -108,7 +111,7 @@ def compact(sidecar: DataFrame) -> DataFrame:
         m = int(pdf["m_bits"].max())
         acc = np.zeros(m // 8, dtype=np.uint8)
         total = 0
-        for blob, mb in zip(pdf["bits"], pdf["m_bits"]):
+        for blob, mb, mb_keys in zip(pdf["bits"], pdf["m_bits"], pdf["n_keys"]):
             src = np.frombuffer(blob, dtype=np.uint8)
             if int(mb) == m:
                 acc |= src
@@ -119,7 +122,7 @@ def compact(sidecar: DataFrame) -> DataFrame:
                 # by re-hashing is impossible here, so we fall back to
                 # treating every key as maybe-present (all-ones) — safe.
                 acc[:] = 0xFF
-            total += int(pdf["n_keys"].iloc[0])
+            total += int(mb_keys)
         return pd.DataFrame({"bucket": [b], "m_bits": [m], "bits": [acc.tobytes()], "n_keys": [total]})
 
     return sidecar.groupBy("bucket").applyInPandas(merge, SIDECAR_SCHEMA)
@@ -127,55 +130,68 @@ def compact(sidecar: DataFrame) -> DataFrame:
 
 def probe(
     candidates: DataFrame,
-    sidecar_rows: list,
+    sidecar: DataFrame,
     url_col: str = "url",
     n_buckets: int = 64,
+    kind: str = "bloom",
 ) -> DataFrame:
     """Adds ``maybe_seen``: False ⇒ definitely not in the seen set.
 
-    ``sidecar_rows`` is the collected sidecar (one compacted row per
-    bucket) — broadcast via task closure; blobs are shared read-only."""
-    blobs: dict[int, list[tuple[bytes, int]]] = {}
-    for r in sidecar_rows:
-        blobs.setdefault(int(r["bucket"]), []).append((bytes(r["bits"]), int(r["m_bits"])))
-
+    ``sidecar`` is the bucket-aligned filter TABLE (SIDECAR_SCHEMA, any
+    number of delta rows per bucket; ``kind`` says how blobs decode —
+    'bloom' bitsets or 'cuckoo' fingerprint tables, in which case
+    ``m_bits`` carries the cuckoo-internal bucket count). The probe is a
+    bucket-cogrouped ``applyInPandas``: candidates shuffle on the same
+    ``pmod(xxhash64)`` bucket key the sidecar is partitioned by, and each
+    task ORs only its own bucket's blobs — the filter NEVER rides the
+    driver or a task closure, so a 10^10-key sidecar (~15 GB at
+    12 bits/key) stays distributed. Matching Iceberg layout: sidecar
+    table bucketed on ``bucket``, so this cogroup is a co-partitioned
+    local join."""
     keyed = candidates.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
         "_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
     )
+    drop_cols = ["_h", "_bucket"]
+    if kind == "cuckoo":
+        from .cuckoo import CuckooFilter
 
-    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            h = pdf["_h"].to_numpy().astype(np.uint64)
-            bk = pdf["_bucket"].to_numpy()
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for b in np.unique(bk):
-                mask = bk == b
-                sub = h[mask]
-                acc = np.zeros(mask.sum(), dtype=bool)
-                for blob, m_bits in blobs.get(int(b), []):
-                    acc |= _probe_blob(sub, blob, m_bits)
-                maybe[mask] = acc
-            out = pdf.copy()
-            out["maybe_seen"] = maybe
-            return_cols = [c for c in out.columns if c not in ("_h", "_bucket")]
-            yield out[return_cols]
+        def blob_probe(h, blob, param):
+            return CuckooFilter.from_bytes(bytes(blob), int(param)).contains_many(h)
+    else:
+
+        def blob_probe(h, blob, param):
+            return _probe_blob(h, bytes(blob), int(param))
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.drop(columns=drop_cols)
+        h = left["_h"].to_numpy().astype(np.uint64)
+        maybe = np.zeros(len(left), dtype=bool)
+        for blob, param in zip(right["bits"], right["m_bits"]):
+            maybe |= blob_probe(h, blob, param)
+        out["maybe_seen"] = maybe
+        return out
 
     out_schema = T.StructType(
         [f for f in candidates.schema.fields] + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    return keyed.mapInPandas(probe_batches, out_schema)
+    return (
+        keyed.groupBy("_bucket")
+        .cogroup(sidecar.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
 
 
 def dedup_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
-    sidecar_rows: list,
+    sidecar: DataFrame,
     keys: list[str],
     url_col: str = "url",
     n_buckets: int = 64,
+    kind: str = "bloom",
 ) -> DataFrame:
-    """Exact new-URL set; bloom only shrinks the anti-join's left side."""
-    probed = probe(candidates, sidecar_rows, url_col=url_col, n_buckets=n_buckets)
+    """Exact new-URL set; the filter only shrinks the anti-join's left side."""
+    probed = probe(candidates, sidecar, url_col=url_col, n_buckets=n_buckets, kind=kind)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(seen.select(*keys), keys, "left_anti")

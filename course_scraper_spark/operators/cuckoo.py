@@ -31,8 +31,20 @@ def _fingerprint(h: np.ndarray) -> np.ndarray:
     return fp
 
 
+def _remix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer. The sidecar layout buckets keys by
+    pmod(xxhash64, n_host_buckets) — the LOW bits of the same hash — so
+    within one blob every key shares those bits; using h directly for the
+    internal (power-of-two) bucket would leave only 1/n_host_buckets of
+    the table reachable and overflow it. Remixing decorrelates."""
+    z = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _bucket1(h: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    return (_remix(h) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _alt_bucket(b: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -138,3 +150,95 @@ class CuckooFilter:
         obj.n_buckets = n_buckets
         obj.table = np.frombuffer(bytearray(blob), dtype=np.uint16).reshape(n_buckets, _SLOTS).copy()
         return obj
+
+
+# -- DataFrame-level sidecar (same layout contract as operators/bloom.py) --
+#
+# One cuckoo blob per host bucket; the ``m_bits`` column of
+# bloom.SIDECAR_SCHEMA carries the cuckoo-internal bucket count instead of
+# a bit length. Probing goes through bloom.probe(kind='cuckoo') — the
+# bucket-cogrouped path, never the driver.
+
+
+def build_delta(delta, url_col: str = "url", n_buckets: int = 64):
+    """One delta cuckoo-filter row per bucket for a wave's new URLs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .bloom import SIDECAR_SCHEMA
+
+    keyed = delta.select(
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.xxhash64(F.col(url_col)).alias("h"),
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        cf = CuckooFilter(n_keys=max(64, len(h)))
+        fails = cf.insert_many(h)
+        if fails:  # never with the 0.7-load sizing; keep exactness anyway
+            cf = CuckooFilter(n_keys=max(64, len(h) * 2))
+            cf.insert_many(h)
+        return pd.DataFrame(
+            {
+                "bucket": [b],
+                "m_bits": [cf.n_buckets],
+                "bits": [cf.to_bytes()],
+                "n_keys": [len(h)],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(per_bucket, SIDECAR_SCHEMA)
+
+
+def delete_keys(sidecar, keys, url_col: str = "url", n_buckets: int = 64):
+    """Retire previously-inserted keys from the sidecar (TTL / recrawl).
+
+    The deletion capability blooms lack (Fan et al. §3.3): cogroup the
+    keys-to-delete with the sidecar on bucket; each task removes one
+    matching fingerprint per key, trying successive delta blobs until one
+    yields. Only keys that were actually inserted may be deleted (the
+    standard cuckoo-filter contract — deleting a never-inserted key could
+    evict a sibling's fingerprint). Returns the updated sidecar."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .bloom import SIDECAR_SCHEMA
+
+    keyed = keys.select(
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.xxhash64(F.col(url_col)).alias("h"),
+    )
+
+    def per_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame({c: [] for c in ("bucket", "m_bits", "bits", "n_keys")}).astype(
+                {"bucket": "int32", "m_bits": "int64", "n_keys": "int64", "bits": object}
+            )
+        filters = [
+            CuckooFilter.from_bytes(bytes(blob), int(nb))
+            for blob, nb in zip(right["bits"], right["m_bits"])
+        ]
+        remaining = left["h"].to_numpy().astype(np.uint64)
+        deleted_per = [0] * len(filters)
+        for i, cf in enumerate(filters):
+            if len(remaining) == 0:
+                break
+            done = cf.delete_many(remaining)
+            deleted_per[i] = int(done.sum())
+            remaining = remaining[~done]
+        return pd.DataFrame(
+            {
+                "bucket": right["bucket"].tolist(),
+                "m_bits": right["m_bits"].tolist(),
+                "bits": [cf.to_bytes() for cf in filters],
+                "n_keys": [int(k) - d for k, d in zip(right["n_keys"], deleted_per)],
+            }
+        )
+
+    return (
+        keyed.groupBy("bucket")
+        .cogroup(sidecar.groupBy("bucket"))
+        .applyInPandas(per_bucket, SIDECAR_SCHEMA)
+    )

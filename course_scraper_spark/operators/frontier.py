@@ -221,6 +221,17 @@ def fetch_ok_col() -> F.Column:
     )
 
 
+def _filter_builder(kind: str):
+    """Delta-builder for the seen-filter sidecar ('bloom' | 'cuckoo')."""
+    if kind == "cuckoo":
+        from .cuckoo import build_delta as bd
+    elif kind == "bloom":
+        from .bloom import build_delta as bd
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown seen-filter kind: {kind!r}")
+    return bd
+
+
 def crawl_sources(
     spark: SparkSession,
     sources: list[SourceConfig],
@@ -232,6 +243,7 @@ def crawl_sources(
     resume: bool = False,
     max_waves: int | None = None,
     use_bloom: bool = False,
+    use_filter: str | None = None,
     bloom_buckets: int = 64,
     metrics_store=None,
     run_id: str = "run",
@@ -243,10 +255,13 @@ def crawl_sources(
     snapshot; ``resume=True`` continues from the last committed wave.
     ``max_waves`` stops early after N committed waves (kill/resume tests).
 
-    ``use_bloom`` maintains the per-bucket bloom sidecar
-    (operators/bloom.py) across waves and prefilters candidates before
-    the exact anti-join — identical results (bloom has no false
-    negatives; positives hit the exact join), fewer anti-join probes.
+    ``use_filter`` ('bloom' or 'cuckoo'; ``use_bloom=True`` is the
+    back-compat spelling of 'bloom') maintains the per-bucket seen-filter
+    sidecar as a bucket-aligned DataFrame across waves — built as deltas,
+    probed via the bucket-cogrouped path in operators/bloom.py, NEVER
+    collected to the driver — and prefilters candidates before the exact
+    anti-join. Identical results (the filters have no false negatives;
+    positives hit the exact join), fewer anti-join probes.
     """
     runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
@@ -287,16 +302,17 @@ def crawl_sources(
     waves_run = 0
 
     bloom_key = F.concat_ws("|", F.col("source_id"), F.col("url"))
-    sidecar_rows: list = []
-    if use_bloom:
-        from .bloom import build_delta
-
-        sidecar_rows = [
-            r.asDict()
-            for r in build_delta(
-                seen.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
-            ).collect()
-        ]
+    filter_kind = use_filter or ("bloom" if use_bloom else None)
+    sidecar: DataFrame | None = None
+    if filter_kind is not None:
+        build_delta = _filter_builder(filter_kind)
+        # the sidecar stays a bucket-aligned TABLE for its whole life:
+        # checkpointed per delta (same discipline as the seen set), probed
+        # via bucket-cogrouped applyInPandas — no driver collect, no task-
+        # closure capture, so a 10^10-key filter never converges on one node.
+        sidecar = build_delta(
+            seen.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
+        ).localCheckpoint(eager=True)
 
     while depth < max_depth_overall:
         if max_waves is not None and waves_run >= max_waves:
@@ -401,16 +417,17 @@ def crawl_sources(
             )
         ).select("source_id", F.col("full_url").alias("url"), "parent_seq", "link_pos")
 
-        if use_bloom:
+        if filter_kind is not None:
             from .bloom import dedup_with_bloom
 
             new_urls = dedup_with_bloom(
                 queue_cand.withColumn("_k", bloom_key),
                 seen,
-                sidecar_rows,
+                sidecar,
                 keys=["source_id", "url"],
                 url_col="_k",
                 n_buckets=bloom_buckets,
+                kind=filter_kind,
             ).drop("_k")
         else:
             new_urls = queue_cand.join(
@@ -450,15 +467,12 @@ def crawl_sources(
             new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
 
         delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
-        if use_bloom:
-            from .bloom import build_delta
-
-            sidecar_rows += [
-                r.asDict()
-                for r in build_delta(
+        if filter_kind is not None:
+            sidecar = sidecar.unionByName(
+                _filter_builder(filter_kind)(
                     delta.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
-                ).collect()
-            ]
+                ).localCheckpoint(eager=True)
+            )
         if state_store is not None:
             state_store.save_wave(next_depth, delta, seq_base)
             seen = state_store.read_seen()

@@ -65,6 +65,12 @@ def assign_seq_with_totals(
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(group_col), *[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # repartitionByRange picks boundaries by SAMPLING, and each action
+    # re-samples with a fresh seed — without pinning, the counts job below
+    # and the final ranked output could see DIFFERENT _pid assignments,
+    # misaligning the broadcast offsets (duplicate/skipped seq values).
+    # Eager localCheckpoint materializes one partitioning both jobs share.
+    ranged = ranged.localCheckpoint(eager=True)
 
     # tiny: one row per (physical partition, group)
     counts = (

@@ -16,32 +16,31 @@ def seen_df(spark):
 
 
 @pytest.fixture(scope="module")
-def sidecar_rows(spark, seen_df):
-    sc = compact(build_delta(seen_df, n_buckets=16))
-    return [r.asDict() for r in sc.collect()]
+def sidecar(spark, seen_df):
+    return compact(build_delta(seen_df, n_buckets=16)).cache()
 
 
-def test_no_false_negatives(spark, seen_df, sidecar_rows):
-    probed = probe(seen_df, sidecar_rows, n_buckets=16)
+def test_no_false_negatives(spark, seen_df, sidecar):
+    probed = probe(seen_df, sidecar, n_buckets=16)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
-def test_prune_rate_on_new_urls(spark, sidecar_rows):
+def test_prune_rate_on_new_urls(spark, sidecar):
     new = spark.createDataFrame(
         [("sX", f"https://new{i}.org/q{i}") for i in range(2000)], ["source_id", "url"]
     )
-    probed = probe(new, sidecar_rows, n_buckets=16)
+    probed = probe(new, sidecar, n_buckets=16)
     fp = probed.filter(F.col("maybe_seen")).count() / 2000
     assert fp < 0.05, f"false-positive rate too high: {fp}"
 
 
-def test_dedup_with_bloom_is_exact(spark, seen_df, sidecar_rows):
+def test_dedup_with_bloom_is_exact(spark, seen_df, sidecar):
     half_old = spark.createDataFrame(
         [(f"s{i % 3}", f"https://h{i % 5}.edu/p{i}.html") for i in range(0, 2000, 2)]
         + [("s0", f"https://brand-new.org/x{i}") for i in range(500)],
         ["source_id", "url"],
     )
-    got = dedup_with_bloom(half_old, seen_df, sidecar_rows, keys=["source_id", "url"], n_buckets=16)
+    got = dedup_with_bloom(half_old, seen_df, sidecar, keys=["source_id", "url"], n_buckets=16)
     naive = half_old.join(seen_df, ["source_id", "url"], "left_anti")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
 
@@ -50,6 +49,12 @@ def test_incremental_deltas_union(spark):
     a = spark.createDataFrame([("s", f"u{i}") for i in range(300)], ["source_id", "url"])
     b = spark.createDataFrame([("s", f"v{i}") for i in range(300)], ["source_id", "url"])
     sidecar = build_delta(a, n_buckets=4).unionByName(build_delta(b, n_buckets=4))
-    rows = [r.asDict() for r in sidecar.collect()]
     both = a.unionByName(b)
-    assert probe(both, rows, n_buckets=4).filter(~F.col("maybe_seen")).count() == 0
+    assert probe(both, sidecar, n_buckets=4).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_probe_plan_is_cogrouped_not_collected(spark, seen_df, sidecar):
+    """The sidecar must reach tasks via the bucket cogroup (shuffle), not a
+    driver collect + closure capture — the north-rule scale contract."""
+    plan = probe(seen_df, sidecar, n_buckets=16)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan

@@ -57,6 +57,14 @@ def test_bloom_prefiltered_crawl_identical(spark, sources, pages, crawl_result):
         assert with_bloom.visit_order(s.source_id) == crawl_result.visit_order(s.source_id)
 
 
+def test_cuckoo_prefiltered_crawl_identical(spark, sources, pages, crawl_result):
+    """Same contract with the deletable cuckoo sidecar swapped in."""
+    with_cuckoo = crawl_sources(spark, sources, pages, use_filter="cuckoo", bloom_buckets=16)
+    for s in sources:
+        assert with_cuckoo.seen_urls(s.source_id) == crawl_result.seen_urls(s.source_id)
+        assert with_cuckoo.visit_order(s.source_id) == crawl_result.visit_order(s.source_id)
+
+
 def test_failed_fetches_stay_in_seen(crawl_result, sources, store):
     any_failed = False
     for s in sources:

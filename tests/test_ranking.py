@@ -20,6 +20,36 @@ def test_assign_seq_matches_naive(spark):
             assert got[(g, ps, lp)] == i
 
 
+def test_assign_seq_big_path_pid_stable(spark):
+    """Force the two-phase (big-input) path and verify seq is a dense
+    permutation per group across repeated runs.
+
+    Regression: repartitionByRange samples boundaries per ACTION, so without
+    pinning the partitioning, the counts job and the ranking job could see
+    different _pid assignments → duplicate/skipped seq values."""
+    from course_scraper_spark.operators.ranking import assign_seq_with_totals
+
+    rows = [
+        (g, ps, lp)
+        for g in ("a", "b")
+        for ps in range(40)
+        for lp in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "parent_seq", "link_pos"]).repartition(16)
+    for _ in range(3):
+        out, totals = assign_seq_with_totals(
+            df, "g", ["parent_seq", "link_pos"], num_partitions=7, small_threshold=0
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, []).append(((r.parent_seq, r.link_pos), r.seq))
+        assert totals == {"a": 2000, "b": 2000}
+        for g, pairs in got.items():
+            pairs.sort()
+            seqs = [s for _, s in pairs]
+            assert seqs == list(range(1, len(pairs) + 1)), f"group {g} not dense"
+
+
 def test_assign_seq_single_group_many_partitions(spark):
     rows = [("x", i, 0) for i in range(500)]
     df = spark.createDataFrame(rows, ["g", "parent_seq", "link_pos"])
