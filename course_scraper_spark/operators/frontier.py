@@ -221,6 +221,25 @@ def fetch_ok_col() -> F.Column:
     )
 
 
+# Above this many frontier rows the fetch join stops broadcasting the wave
+# side: a multi-million-URL wave shipped to every executor OOMs the driver.
+# Below it, broadcasting keeps the page-body table from shuffling (html is
+# the heavy column). The join only exists in the synthetic harness — a live
+# cluster fetches over HTTP inside the UDF — but the budgeted/scale loop
+# shares the code path, so the guard is enforced (tests/test_plan_audit.py).
+BROADCAST_WAVE_THRESHOLD = 1_000_000
+
+
+def _fetch_join(wave_slim: DataFrame, pages_slim: DataFrame, wave_rows: int | None,
+                broadcast_threshold: int) -> DataFrame:
+    left = (
+        F.broadcast(wave_slim)
+        if wave_rows is not None and wave_rows <= broadcast_threshold
+        else wave_slim
+    )
+    return left.join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
+
+
 def _filter_builder(kind: str):
     """Delta-builder for the seen-filter sidecar ('bloom' | 'cuckoo')."""
     if kind == "cuckoo":
@@ -247,6 +266,8 @@ def crawl_sources(
     bloom_buckets: int = 64,
     metrics_store=None,
     run_id: str = "run",
+    salt_hosts_threshold: int | None = None,
+    broadcast_wave_threshold: int = BROADCAST_WAVE_THRESHOLD,
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
 
@@ -283,6 +304,7 @@ def crawl_sources(
         wave = seen.filter(F.col("visited") & (F.col("depth") == depth)).select(
             "source_id", "url", "host", "depth", "seq"
         )
+        wave_rows = wave.count()
     else:
         # wave 0: roots, seq 1 per source
         wave = spark.createDataFrame(
@@ -292,6 +314,7 @@ def crawl_sources(
         seen = wave.withColumn("visited", F.lit(True))
         seq_base = {rt.source.source_id: 1 for rt in runtimes}
         depth = 0
+        wave_rows = len(runtimes)
         if state_store is not None:
             state_store.save_wave(0, seen, seq_base)
             seen = state_store.read_seen()
@@ -344,10 +367,18 @@ def crawl_sources(
             )
             metrics_store.record_wave(run_id, depth, fetch_stats_per_host(joined_m))
 
-        wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
+        wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
+        if salt_hosts_threshold is not None:
+            # live-cluster fetch runs INSIDE the UDF over the wave's own
+            # partitioning — spread Zipf mega-hosts before that stage
+            from .salting import salted_repartition
+
+            wave_slim = salted_repartition(
+                wave_slim, "host", threshold=salt_hosts_threshold, salt_col="url"
+            )
+        wave_slim = wave_slim.drop("host")
         fetched = (
-            F.broadcast(wave_slim)
-            .join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
+            _fetch_join(wave_slim, pages_slim, wave_rows, broadcast_wave_threshold)
             .filter(fetch_ok_col())
             .select(
                 "source_id",
@@ -358,9 +389,9 @@ def crawl_sources(
                 "is_mc",
             )
         )
-        # NOTE: the scan partitioning of pages carries to the UDF stage; a
-        # skewed host is already spread because pages were written/cached
-        # partition-uniform, so no extra repartition pass is needed.
+        # In broadcast mode the scan partitioning of pages carries to the
+        # UDF stage — page html never shuffles; above the threshold the
+        # join shuffles both sides on url hash (uniform, skew-free).
 
         links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
 
@@ -494,6 +525,7 @@ def crawl_sources(
         cand.unpersist()
         result.metrics.append(WaveMetrics(depth=next_depth, wave_size=n_new, new_urls=n_new))
         depth = next_depth
+        wave_rows = n_new
         waves_run += 1
         if n_new == 0:
             break
@@ -516,6 +548,9 @@ def crawl_sources_budgeted(
     round_budget_s: float = 60.0,
     make_root_filter: bool = True,
     max_rounds: int | None = None,
+    salt_hosts_threshold: int | None = None,
+    broadcast_wave_threshold: int = BROADCAST_WAVE_THRESHOLD,
+    obey_disallow: bool = False,
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -528,10 +563,23 @@ def crawl_sources_budgeted(
     parallel form of the reference's serial crawl-delay sleeps
     (crawler.py:150,168, render_utils.py:58).
 
-    The final seen SET equals the unbudgeted crawl exactly (budgets delay
-    fetches, never drop them — tests/test_budgeted_crawl.py); visit
-    ORDER follows the schedule instead of strict BFS FIFO, so equality
-    paths use :func:`crawl_sources`.
+    The final seen SET equals the unbudgeted crawl exactly for
+    single-host sources (``include_external=False``, the reference's
+    shape — budgets delay fetches, never drop them;
+    tests/test_budgeted_crawl.py). With ``include_external=True`` AND
+    heterogeneous per-host crawl delays the invariant weakens: a URL
+    first discovered via a deeper parent on a fast host (while its
+    shallow parent waits behind a slow host) is assigned the deeper
+    depth, and if that equals max_depth its subtree is pruned — the
+    budgeted set can then be a subset of the BFS set near the depth
+    horizon. Visit ORDER always follows the schedule instead of strict
+    BFS FIFO, so equality paths use :func:`crawl_sources`.
+
+    ``salt_hosts_threshold``: spread hosts holding more than this many
+    frontier rows across salt shards before the fetch stage
+    (operators/salting.py). ``obey_disallow``: apply robots Disallow
+    prefixes to the frontier (operators/robots.py; default off — the
+    reference reads only crawl_delay).
     """
     runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
@@ -546,6 +594,14 @@ def crawl_sources_budgeted(
         [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
         "source_id string, url string, host string, depth int, seq long",
     )
+    if obey_disallow and robots is not None:
+        # north-star "robots.txt rules": disallowed URLs never fetch, never
+        # expand, never enter seen. Semantic FLAG, default off: the
+        # reference reads only crawl_delay (crawler.py:144-150), so the
+        # equality paths keep delay-only behavior.
+        from .robots import filter_disallowed
+
+        pending = filter_disallowed(pending, robots)
     seen = pending.withColumn("visited", F.lit(True)).localCheckpoint(eager=True)
     seq_base = {rt.source.source_id: 1 for rt in runtimes}
     rounds = 0
@@ -556,8 +612,16 @@ def crawl_sources_budgeted(
         rounds += 1
         sched = with_schedule(pending, robots)  # slot by seq = priority order
         now, deferred = split_by_budget(sched, round_budget_s)
-        now = now.drop("slot", "sched_time").localCheckpoint(eager=True)
-        if now.isEmpty():
+        now = now.drop("slot", "sched_time")
+        if salt_hosts_threshold is not None:
+            # the fetch stage runs over `now`'s own partitioning on a live
+            # cluster — spread Zipf mega-hosts across salt shards first
+            from .salting import salted_repartition
+
+            now = salted_repartition(now, "host", threshold=salt_hosts_threshold, salt_col="url")
+        now = now.localCheckpoint(eager=True)
+        n_now = now.count()
+        if n_now == 0:
             break
         deferred = deferred.localCheckpoint(eager=True)
 
@@ -566,8 +630,7 @@ def crawl_sources_budgeted(
         )
         wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
         fetched = (
-            F.broadcast(wave_slim)
-            .join(pages_slim, wave_slim.url == pages_slim.p_url, "inner")
+            _fetch_join(wave_slim, pages_slim, n_now, broadcast_wave_threshold)
             .filter(fetch_ok_col())
             .select(
                 "source_id",
@@ -631,6 +694,12 @@ def crawl_sources_budgeted(
             "max_depth",
             "is_mc",
         )
+        if obey_disallow and robots is not None:
+            from .robots import filter_disallowed
+
+            queue_cand = filter_disallowed(
+                queue_cand.withColumn("host", U.host_of(F.col("url"))), robots
+            ).drop("host")
         new_urls = queue_cand.join(
             seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
         )

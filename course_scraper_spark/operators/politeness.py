@@ -20,15 +20,24 @@ scheduling. Used by the throughput path (bench) and exported as the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .ranking import assign_seq
 
 DEFAULT_CRAWL_DELAY = 1.0  # crawler.py:150: rp.crawl_delay("*") or 1.0
 
 
 def with_schedule(wave: DataFrame, robots: DataFrame | None = None) -> DataFrame:
     """Add ``slot`` (1-based per-host fetch ordinal) and ``sched_time``
-    (seconds after wave start). ``robots``: (host, crawl_delay)."""
+    (seconds after wave start). ``robots``: (host, crawl_delay).
+
+    The slot rank routes through the adaptive two-phase ranking
+    (operators/ranking.py): small waves take one per-host window; big
+    waves range-partition so a Zipf mega-host never funnels its whole
+    frontier share through a single window task. (source_id, url)
+    tiebreakers keep the slot deterministic when two sources sharing a
+    host collide on seq."""
     if robots is not None:
         wave = wave.join(
             F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
@@ -36,9 +45,10 @@ def with_schedule(wave: DataFrame, robots: DataFrame | None = None) -> DataFrame
     else:
         wave = wave.withColumn("crawl_delay", F.lit(None).cast("double"))
     delay = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
-    w = Window.partitionBy("host").orderBy("seq")
+    tiebreak = [c for c in ("source_id", "url") if c in wave.columns]
+    ranked = assign_seq(wave, "host", ["seq", *tiebreak], seq_col="slot")
     return (
-        wave.withColumn("slot", F.row_number().over(w))
+        ranked.withColumn("slot", F.col("slot").cast("int"))
         .withColumn("sched_time", (F.col("slot") - 1) * delay)
         .drop("crawl_delay")
     )
