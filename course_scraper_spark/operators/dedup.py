@@ -194,21 +194,41 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance over the 32-bit signature.
-    Blocked on 16-bit halves (a pair within distance ≤3 must agree on at
-    least one half when distance ≤ ... pigeonhole over 2 blocks holds for
-    d ≤ 1 per half at d ≤ 3 only probabilistically — so we block on
-    BOTH halves and union, which is exact for d ≤ 1 per-half misses;
-    for small corpora callers can cross-join instead)."""
-    lo = (F.col("simhash").bitwiseAND(F.lit(0xFFFF))).alias("blk")
-    hi = (F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF))).alias("blk")
-    blocks = sig_df.select("doc_id", "simhash", lo, F.lit(0).alias("half")).unionByName(
-        sig_df.select("doc_id", "simhash", hi, F.lit(1).alias("half"))
-    )
+def simhash_near_pairs(
+    sig_df: DataFrame, max_hamming: int = 3, n_blocks: int = 4, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over the ``bits``-bit signature.
+
+    Banded candidate generation (the standard multi-index / pigeonhole
+    scheme, e.g. Manku et al. WWW'07): split the signature into
+    ``n_blocks`` equal bit blocks; a pair within Hamming distance d must
+    agree EXACTLY on at least one block whenever d < n_blocks (d
+    differing bits can dirty at most d blocks). With the defaults —
+    4 blocks of 8 bits, max_hamming=3 — recall is therefore exact; raise
+    ``n_blocks`` if you raise ``max_hamming``. Candidates sharing a block
+    are verified with the true bit_count distance."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"banding needs n_blocks > max_hamming for exact recall "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming})"
+        )
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    parts = [
+        sig_df.select(
+            "doc_id",
+            "simhash",
+            F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)).alias("blk"),
+            F.lit(i).alias("band"),
+        )
+        for i in range(n_blocks)
+    ]
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
-        a.join(b, (F.col("a.half") == F.col("b.half")) & (F.col("a.blk") == F.col("b.blk")))
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.blk") == F.col("b.blk")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -49,32 +49,53 @@ class MergeStats:
     updated: int
 
 
+def occurrence_stats(src_all: DataFrame, existing_keys: DataFrame | None) -> MergeStats:
+    """Reference per-occurrence merge tally in ONE aggregation job:
+    inserted = distinct batch keys absent from ``existing_keys``;
+    updated = every other scraped row (matches + later duplicate
+    occurrences). ``existing_keys=None`` means an empty table."""
+    new_key = F.struct("k_code", "k_title")
+    marked = src_all
+    cond = new_key
+    if existing_keys is not None:
+        marked = src_all.join(
+            existing_keys.distinct().withColumn("_ex", F.lit(True)), ["k_code", "k_title"], "left"
+        )
+        cond = F.when(F.col("_ex").isNull(), new_key)
+    row = marked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(cond).alias("n_new"),
+    ).collect()[0]
+    return MergeStats(inserted=row.n_new, updated=row.n_rows - row.n_new)
+
+
 def merge_courses(
     table: SnapshotTable, scraped: DataFrame, seq_col: str | None = None
 ) -> MergeStats:
     """K6. ``scraped`` needs COURSE_COLS; ``seq_col`` (optional) breaks
     duplicate-key ties the way the reference's sequential loop does
-    (last occurrence wins)."""
-    src = with_merge_keys(scraped)
+    (last occurrence wins).
+
+    Stats follow the reference's PER-OCCURRENCE tally
+    (merge_courses.py:15-56: a key scraped twice and absent from the
+    table counts inserted=1 THEN updated=1): inserted = distinct keys
+    not already in the table, updated = every other scraped row. Both
+    come from ONE aggregation job over the batch left-joined to the
+    existing key set — not separate count() actions per side."""
+    src_all = with_merge_keys(scraped)
     if seq_col is not None:
         w = Window.partitionBy("k_code", "k_title").orderBy(F.col(seq_col).desc())
-        src = src.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        deduped = src_all.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     else:
-        src = src.dropDuplicates(["k_code", "k_title"])
-    src = src.select(*TABLE_COLS)
+        deduped = src_all.dropDuplicates(["k_code", "k_title"])
+    src = deduped.select(*TABLE_COLS)
 
     if table.is_empty():
-        n = src.count()
+        stats = occurrence_stats(src_all, existing_keys=None)
         table.append(src)
-        return MergeStats(inserted=n, updated=0)
+        return stats
 
-    existing = table.read()
-    matched_keys = src.select("k_code", "k_title").join(
-        existing.select("k_code", "k_title").distinct(), ["k_code", "k_title"], "left_semi"
-    )
-    n_match = matched_keys.count()
-    n_src = src.count()
-    stats = MergeStats(inserted=n_src - n_match, updated=n_match)
+    stats = occurrence_stats(src_all, table.read().select("k_code", "k_title"))
 
     table.merge(
         src,

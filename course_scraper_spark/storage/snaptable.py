@@ -185,39 +185,43 @@ class SnapshotTable:
         )
 
     # -- reads -------------------------------------------------------------
-    def _live_dirs(self, snapshot_id: int | None = None) -> dict[str, set[int] | None]:
-        """dir -> set of live buckets (None = every bucket in the dir)."""
+    def _live_dirs(self, snapshot_id: int | None = None) -> dict[str, tuple[str, set[int]]]:
+        """dir -> ('include'|'exclude', bucket set).
+
+        'include' = only those buckets of the dir are live; 'exclude' =
+        every bucket EXCEPT those (wildcard dirs from overwrite commits,
+        whose bucket list was never recorded, minus buckets later
+        rewritten by a scoped merge — without the exclusion, an
+        overwrite-then-merge history would read the touched buckets from
+        BOTH dirs and duplicate their rows)."""
         upto = snapshot_id if snapshot_id is not None else len(self.commits) - 1
 
-        # replay: per-bucket list of contributing dirs
-        per_bucket: dict[int | str, list[str]] = {}
+        # replay: per-bucket list of contributing dirs + wildcard dirs
+        # with their dead (superseded) buckets
+        per_bucket: dict[int, list[str]] = {}
+        wildcard: list[tuple[str, set[int]]] = []
         for c in self.commits[: upto + 1]:
             if c.op == "create" or c.dir is None:
                 continue
             if c.op == "append":
                 for b in c.buckets or []:
                     per_bucket.setdefault(b, []).append(c.dir)
-            elif c.op == "overwrite":
+            elif c.op == "overwrite" or (c.op == "merge" and c.buckets is None):
                 per_bucket = {}
-                # overwrite replaces everything; its own buckets come from the files
-                # (we recorded buckets=None, so mark dir live for all its buckets)
-                per_bucket["__overwrite__"] = [c.dir]
+                wildcard = [(c.dir, set())]
             elif c.op == "merge":
-                if c.buckets is None:
-                    per_bucket = {"__overwrite__": [c.dir]}
-                else:
-                    for b in c.buckets:
-                        per_bucket[b] = [c.dir]
+                for b in c.buckets:
+                    per_bucket[b] = [c.dir]
+                    for _d, dead in wildcard:
+                        dead.add(b)
 
-        out: dict[str, set[int] | None] = {}
+        out: dict[str, tuple[str, set[int]]] = {}
+        for d, dead in wildcard:
+            out[d] = ("exclude", dead)
         for b, dirs in per_bucket.items():
             for d in dirs:
-                if b == "__overwrite__":
-                    out[d] = None
-                else:
-                    cur = out.setdefault(d, set())
-                    if cur is not None:
-                        cur.add(b)
+                mode, buckets = out.setdefault(d, ("include", set()))
+                buckets.add(b)
         return out
 
     def read(self, snapshot_id: int | None = None, tag: str | None = None) -> DataFrame:
@@ -228,10 +232,12 @@ class SnapshotTable:
             snapshot_id = matches[-1]
         live = self._live_dirs(snapshot_id)
         dfs = []
-        for rel, buckets in live.items():
+        for rel, (mode, buckets) in live.items():
             df = self.spark.read.parquet(os.path.join(self.path, "data", rel))
-            if buckets is not None:
+            if mode == "include":
                 df = df.filter(F.col("_bucket").isin(sorted(buckets)))
+            elif buckets:  # exclude mode with superseded buckets
+                df = df.filter(~F.col("_bucket").isin(sorted(buckets)))
             dfs.append(df.drop("_bucket"))
         if not dfs:
             raise ValueError("empty table read requires a schema; append first")

@@ -56,8 +56,38 @@ def test_simhash_properties(docs):
 
 def test_simhash_near_pairs(docs):
     sig = D.simhash(docs)
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sig, max_hamming=4).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(sig, max_hamming=4, n_blocks=8).collect()}
     assert pairs.get((1, 4)) == 0
+
+
+def test_simhash_near_pairs_rejects_lossy_banding(docs):
+    sig = D.simhash(docs)
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(sig, max_hamming=4, n_blocks=4)
+
+
+def test_simhash_banding_recall_exact_vs_bruteforce(spark):
+    """Pigeonhole guarantee: with 4 blocks, NO pair within d<=3 is missed.
+    Adversarial signatures place differing bits across distinct blocks —
+    the exact case the old 2-half blocking dropped."""
+    base = 0b10110010_01001101_11100011_00010110
+    sigs = [(0, base)]
+    # pairs at d=2 and d=3 with one flipped bit in DIFFERENT blocks
+    sigs.append((1, base ^ (1 << 3) ^ (1 << 19)))          # d=2, blocks 0+2
+    sigs.append((2, base ^ (1 << 9) ^ (1 << 27)))          # d=2, blocks 1+3
+    sigs.append((3, base ^ (1 << 1) ^ (1 << 12) ^ (1 << 30)))  # d=3, blocks 0+1+3
+    sigs.append((4, base ^ 0xFFFF))                        # far away
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r.doc_a, r.doc_b) for r in D.simhash_near_pairs(df, max_hamming=3).collect()}
+    rows = dict(sigs)
+    brute = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert (0, 1) in got and (0, 2) in got and (0, 3) in got
 
 
 def test_embedding_near_dup(spark):

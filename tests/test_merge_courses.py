@@ -66,11 +66,10 @@ def test_merge_matches_sequential_oracle(spark, tmp_path):
     stats = merge_courses(t, _df(spark, scraped, with_seq=True), seq_col="seq")
 
     want, ins, upd = oracle_merge(existing, scraped)
-    # oracle counts every scraped row (the duplicate E300 is an insert then
-    # a self-update -> 1 ins / 3 upd); engine counts distinct keys
+    # per-occurrence tally parity: the duplicate E300 is an insert then a
+    # self-update -> 1 ins / 3 upd, and the engine reports the same
     assert (ins, upd) == (1, 3)
-    assert stats.inserted == 1
-    assert stats.updated == 2
+    assert (stats.inserted, stats.updated) == (ins, upd)
 
     got = [
         {k: v for k, v in r.asDict().items() if k in COURSE_COLS}
@@ -93,3 +92,26 @@ def test_merge_idempotent(spark, tmp_path):
     merge_courses(t, _df(spark, recs))
     after = sorted(tuple(r) for r in t.read().collect())
     assert before == after
+
+
+def test_occurrence_stats_single_job(spark):
+    """The tally is ONE aggregation job, not a count() per side."""
+    from course_scraper_spark.operators.merge import occurrence_stats
+
+    src = with_merge_keys(
+        _df(spark, [_mk("A", "T", "d", "1"), _mk("A", "T", "d2", "1"), _mk("B", "U", "d", "1")])
+    )
+    existing = with_merge_keys(_df(spark, [_mk("B", "U", "old", "1")])).select("k_code", "k_title")
+    sc = spark.sparkContext
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE splits one action into per-stage jobs; disable it so job count
+    # equals action count for the assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("occ-stats", "stats")
+    try:
+        stats = occurrence_stats(src, existing)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert (stats.inserted, stats.updated) == (1, 2)  # A inserts once, dup A + match B update
+    assert len(sc.statusTracker().getJobIdsForGroup("occ-stats")) == 1

@@ -77,3 +77,37 @@ def test_persistence_across_instances(spark, tmp_path):
     t2 = SnapshotTable(spark, p)
     assert rows(t2.read()) == [(1,)]
     assert t2.latest_tag("w")[0] == "w0"
+
+
+def test_overwrite_then_scoped_merge_no_duplicates(spark, tmp_path):
+    """Regression: a bucket-scoped merge after an overwrite must EXCLUDE
+    the touched buckets from the overwrite dir at read time — otherwise
+    those buckets' rows are read from both dirs and duplicated."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t8"), bucket_col="host", n_buckets=8)
+    t.append(spark.createDataFrame([("seed.edu", "s", 0)], ["host", "url", "n"]))
+    base = spark.createDataFrame(
+        [(f"h{i}.edu", f"u{i}", 0) for i in range(40)], ["host", "url", "n"]
+    )
+    t.overwrite(base)
+    src = spark.createDataFrame([("h3.edu", "u3", 99), ("h3.edu", "uNEW", 1)], ["host", "url", "n"])
+    t.merge(src, on=["host", "url"], update_cols=["n"], insert=True)
+    got = [(r.host, r.url, r.n) for r in t.read().collect()]
+    assert len(got) == len(set(got)) == 41, "no duplicated rows after overwrite->merge"
+    out = dict(((h, u), n) for h, u, n in got)
+    assert out[("h3.edu", "u3")] == 99 and out[("h3.edu", "uNEW")] == 1
+    assert ("seed.edu", "s") not in out
+    # untouched buckets still served from the overwrite dir
+    assert out[("h7.edu", "u7")] == 0
+
+
+def test_overwrite_merge_time_travel_still_exact(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t9"), bucket_col="host", n_buckets=4)
+    base = spark.createDataFrame([(f"h{i}.edu", i) for i in range(12)], ["host", "n"])
+    cid_ow = t.overwrite(base)
+    t.merge(
+        spark.createDataFrame([("h1.edu", 100)], ["host", "n"]),
+        on=["host"], update_cols=["n"], insert=True,
+    )
+    # snapshot at the overwrite still reads the pre-merge values, once each
+    old = [(r.host, r.n) for r in t.read(snapshot_id=cid_ow).collect()]
+    assert sorted(old) == sorted((f"h{i}.edu", i) for i in range(12))
