@@ -26,11 +26,12 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  exact                     q_exact_dedup
   dedup  n-gram jaccard            q_jaccard_pairs
   dedup  minhash signatures        q_minhash_signatures
-  dedup  minhash+LSH (verified)    q_minhash_lsh_dedup   [rows-only]
+  dedup  minhash+LSH (verified)    q_minhash_lsh_dedup
   dedup  simhash                   q_simhash
+  dedup  simhash near-pairs        q_simhash_pairs
   dedup  embedding cosine          q_embedding_neardup
   ANN    brute-force top-k         q_ann_topk
-  ANN    LSH-bucketed top-k        q_ann_lsh_topk        [rows-only]
+  ANN    LSH-bucketed top-k        q_ann_lsh_topk
   text   token/quality stats       q_token_stats
   text   language id               q_lang_id
   text   fingerprint               q_fingerprint
@@ -276,28 +277,49 @@ def q_exact_dedup(spark, sf):
     return D.exact_dedup(_t(spark, sf, "documents"))
 
 
+# one cached shingle explode shared by the whole dedup query family
+# (jaccard / minhash / LSH) — the explode is their dominant cost
+_SHINGLE_CACHE: dict = {}
+
+
+def _shingles_shared(spark, sf):
+    key = (id(spark), sf)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = D.shingles(_t(spark, sf, "documents"), n=3).cache()
+    return _SHINGLE_CACHE[key]
+
+
 def q_jaccard_pairs(spark, sf):
     # max_shingle_df caps ubiquitous shingles before the self-join — the
     # hot-key guard that keeps the pair space from going quadratic
     return D.jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=0.8, max_shingle_df=50
+        _t(spark, sf, "documents"), n=3, threshold=0.8, max_shingle_df=50,
+        shingle_df=_shingles_shared(spark, sf),
     ).select("doc_a", "doc_b")
 
 
 def q_minhash_signatures(spark, sf):
-    return D.minhash_signatures(_t(spark, sf, "documents"), n=3, k=8)
+    return D.minhash_signatures(
+        _t(spark, sf, "documents"), n=3, k=8, shingle_df=_shingles_shared(spark, sf)
+    )
 
 
 def q_minhash_lsh_dedup(spark, sf):
-    # rows-only check: the banding trick isn't ANSI-SQL-friendly; the
-    # verified-jaccard output IS cross-checked by q_jaccard_pairs
-    return D.minhash_lsh_dedup(_t(spark, sf, "documents"), n=3, k=16, bands=4, threshold=0.8).select(
-        "doc_a", "doc_b"
-    )
+    return D.minhash_lsh_dedup(
+        _t(spark, sf, "documents"), n=3, k=16, bands=4, threshold=0.8,
+        shingle_df=_shingles_shared(spark, sf),
+    ).select("doc_a", "doc_b")
 
 
 def q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=32)
+
+
+def q_simhash_pairs(spark, sf):
+    sigs = D.simhash(_t(spark, sf, "documents"), bits=32)
+    return D.simhash_near_pairs(sigs, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_embedding_neardup(spark, sf):
@@ -379,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_neardup": q_embedding_neardup,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -635,6 +658,50 @@ SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
 
     out["q_simhash"] = _simhash_sql()
 
+    # simhash near-pairs: the Spark side bands for candidate generation,
+    # but banding is pigeonhole-EXACT for d<=3, so the oracle can use the
+    # semantically-equal brute-force pair join
+    sig_body = _simhash_sql().strip()
+    out["q_simhash_pairs"] = f"""
+WITH sigs AS ({sig_body})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    # minhash + LSH dedup: same banding (md5 over '|'-joined signature
+    # slices, 4 bands x 4 rows, k=16) then true-Jaccard verification at 0.8
+    mh16 = ",\n  ".join(
+        f"min(({2 * i + 3} * h + {7 * i + 1}) % 2147483647) AS mh{i}" for i in range(16)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+            b=b,
+            cat=" || '|' || ".join(f"mh{b * 4 + j}::VARCHAR" for j in range(4)),
+        )
+        for b in range(4)
+    )
+    out["q_minhash_lsh_dedup"] = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_h32} AS h FROM sh),
+sigs AS (SELECT doc_id, {mh16} FROM hashed GROUP BY doc_id),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS cnt
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b FROM common
+JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE round(cnt * 1.0 / (x.n + y.n - cnt), 6) >= 0.8
+"""
+
     out["q_embedding_neardup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -645,6 +712,27 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
 SELECT vec_id FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id LIMIT 10
+"""
+
+    # ANN LSH top-k: identical deterministic hyperplanes (md5-derived, dim
+    # 64 — the testdata embedding width at every SF), bucket bit b = sign
+    # of <v, plane_b>, multiprobe ring of Hamming radius 1 around the
+    # query's bucket, then exact cosine on the survivors
+    planes = [SIM.hyperplane(b, 64) for b in range(4)]
+    plane_lits = ["[" + ", ".join(repr(v) for v in p) + "]" for p in planes]
+    bucket_of = lambda vexpr: " + ".join(
+        f"(CASE WHEN list_inner_product({vexpr}, {plane_lits[b]}) >= 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(4)
+    )
+    out["q_ann_lsh_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+qb AS (SELECT qv, ({bucket_of('qv')}) AS qbits FROM q),
+bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_of('embedding::DOUBLE[]')}) AS bucket
+  FROM embeddings)
+SELECT vec_id FROM bucketed, qb
+WHERE bit_count(xor(bucket::BIGINT, qbits::BIGINT)) <= 1
+ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10
 """
 
     out["q_token_stats"] = f"""

@@ -65,11 +65,15 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold."""
+    """(doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+
+    ``shingle_df``: pre-built (ideally cached) shingles — share one
+    explode across the dedup query family instead of rebuilding per op."""
     # the shingle set feeds the df-cap scan, the size agg AND both sides
     # of the self-join — cache it or the n-gram expression runs 4x
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti").cache()
@@ -100,14 +104,19 @@ MINHASH_P = 2147483647  # 2^31 - 1
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k minhashes per doc. One md5 per shingle (not k): the shingle is
     hashed once to a uniform 32-bit int, then the k permutations are the
     classic linear maps ``(a_i*h + b_i) mod p`` (Broder's scheme) — cheap
     integer mins instead of k string digests, identical formula in the
     SQL oracle."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n)
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     sh = sh.withColumn("h", h)
     aggs = [
@@ -149,11 +158,12 @@ def minhash_lsh_dedup(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, n, k)
+    sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh)
     cand = lsh_candidate_pairs(sigs, k, bands)
-    sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
