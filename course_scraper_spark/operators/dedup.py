@@ -33,9 +33,10 @@ def _tokens(col):
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    toks = _tokens(F.col(text_col))
+def shingle_array(text_col, n: int = 3):
+    """Distinct word n-gram shingles of one text value, as an array Column
+    (no explode — per-row algebra for the shuffle-free consumers)."""
+    toks = _tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
     grams = F.when(
         F.size(toks) >= n,
@@ -44,9 +45,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .where(F.col("shingle") != "")
+    return F.filter(F.array_distinct(grams), lambda s: s != "")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded form — the
+    inverted-index / verify consumers)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -124,6 +131,38 @@ def minhash_signatures(
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+) -> DataFrame:
+    """Same signatures as :func:`minhash_signatures`, computed per ROW over
+    the shingle array — no explode, no shuffle, pure Column algebra.
+
+    Trade-off (measured at sf0.1, local[8]): the grouped form wins on one
+    node (15.2s vs 21.0s — explode+agg is whole-stage-codegen'd, while
+    higher-order transform/array_min run interpreted per element), but
+    this form moves ZERO bytes through the exchange, so it wins when the
+    cluster's shuffle fabric — not CPU — is the constraint, and when the
+    shingle table isn't shared with a Jaccard verify. Docs with no
+    shingles are dropped, matching the grouped form."""
+    arr = shingle_array(F.col(text_col), n)
+    hs = F.transform(
+        arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    # materialize the hash array in its own projection: k consumers, and
+    # CollapseProject keeps multi-referenced non-cheap expressions shared
+    # instead of inlining the md5 transform k times
+    hashed = df.select(F.col(id_col).alias("doc_id"), hs.alias("_hs"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"), lambda h: (F.lit(2 * i + 3) * h + F.lit(7 * i + 1)) % F.lit(MINHASH_P)
+            )
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return hashed.filter(F.size(F.col("_hs")) > 0).select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(

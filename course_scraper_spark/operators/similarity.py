@@ -116,15 +116,22 @@ def ivf_assign(
             emb.orderBy(id_col).limit(n_lists).collect()
         )
     ]
-    best_list = F.lit(-1)
-    best_cos = F.lit(-2.0)
-    for i, c in cents:
-        cc = F.array(*[F.lit(v) for v in c])
-        cos_i = cosine(F.col(vec_col), cc)
-        better = cos_i > best_cos
-        best_list = F.when(better, F.lit(i)).otherwise(best_list)
-        best_cos = F.when(better, cos_i).otherwise(best_cos)
-    return emb.withColumn("ivf_list", best_list), cents
+    # argmax over a FLAT array of (cos, -i) structs: one array_max, depth
+    # O(1) in the Catalyst tree — the nested when/otherwise chain this
+    # replaces grew the expression tree O(n_lists) deep and blew up
+    # analysis at real IVF list counts (1024+). The centroid collect is
+    # inherently driver-side and tiny (n_lists rows).
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("cos"),
+                F.lit(-i).alias("neg_i"),
+            )
+            for i, c in cents
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: max cos, ties -> smallest i
+    return emb.withColumn("ivf_list", (-best["neg_i"]).cast("int")), cents
 
 
 def ivf_topk(

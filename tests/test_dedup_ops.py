@@ -102,3 +102,9 @@ def test_embedding_near_dup(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in D.embedding_near_dup(emb, threshold=0.95).collect()}
     assert pairs == {(1, 2)}  # block key keeps (1,4) apart by design
+
+
+def test_minhash_rowwise_equals_grouped(docs):
+    a = sorted(map(tuple, D.minhash_signatures(docs, n=3, k=8).collect()))
+    b = sorted(map(tuple, D.minhash_signatures_rowwise(docs, n=3, k=8).collect()))
+    assert a == b

