@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "q_exact_dedup",
     "q_minhash_signatures",
     "q_jaccard_pairs",
+    "q_minhash_lsh_dedup",
+    "q_simhash_pairs",
+    "q_ann_lsh_topk",
     "q_token_stats",
     "q_lang_id",
     "q_fingerprint",

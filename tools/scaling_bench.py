@@ -134,6 +134,36 @@ def worker(cpus: int, stage: str) -> None:
     spark.stop()
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def host_control_efficiency(lo: int, hi: int) -> dict:
+    """Pure-CPU multiprocessing control (zero coordination, zero Spark):
+    the 4x-scaling ceiling the HOST offers at measurement time. The
+    sandbox is a shared-host VM — steal varies by the hour (measured the
+    same control at 0.78 one hour, ~1.0 another) — so each engine pair is
+    reported next to the host ceiling it ran under."""
+    import multiprocessing as mp
+    import time as _t
+
+    def measure(workers: int) -> float:
+        with mp.Pool(workers) as p:
+            t0 = _t.time()
+            p.map(_burn, [3_000_000] * 64)
+            return _t.time() - t0
+
+    t_lo, t_hi = measure(lo), measure(hi)
+    return {
+        "control_eff": round(t_lo / ((hi / lo) * t_hi), 3),
+        "wall_lo": round(t_lo, 2),
+        "wall_hi": round(t_hi, 2),
+    }
+
+
 def run_once(cpus: int, stage: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", "--cpus", str(cpus), "--stage", stage],
@@ -149,26 +179,43 @@ LEVELS = (4, 16)  # N and 4N cores; see module docstring
 
 
 def bench_stage(stage: str, runs: int) -> dict:
+    """INTERLEAVED pairs: one N run immediately followed by one 4N run,
+    efficiency computed per pair, median of pair efficiencies reported.
+
+    Why: the sandbox host shows multi-minute performance drift (steal
+    spikes; measured the same local[16] job at 43s then 71s then 77s
+    back-to-back). Running all N runs then all 4N runs folds that drift
+    entirely into the efficiency ratio; pairing makes each ratio compare
+    two runs taken seconds apart under the same host conditions."""
     lo, hi = LEVELS
-    results = {}
-    for cpus in LEVELS:
-        run_once(cpus, stage)  # warm-up (JVM/codegen + world materialization)
-        walls, tps = [], []
-        for _ in range(runs):
-            r = run_once(cpus, stage)
-            walls.append(r["wall"])
-            tps.append(r["throughput"])
-        results[cpus] = {
-            "median_wall_sec": round(statistics.median(walls), 2),
-            "median_throughput": round(statistics.median(tps), 2),
-            "runs": [round(w, 2) for w in walls],
-        }
-    eff = results[hi]["median_throughput"] / (4 * results[lo]["median_throughput"])
+    run_once(lo, stage)  # warm-up (JVM/codegen + world materialization)
+    run_once(hi, stage)
+    pairs, lo_runs, hi_runs, controls = [], [], [], []
+    for _ in range(runs):
+        controls.append(host_control_efficiency(lo, hi))
+        r_lo = run_once(lo, stage)
+        r_hi = run_once(hi, stage)
+        lo_runs.append(r_lo)
+        hi_runs.append(r_hi)
+        pairs.append(r_hi["throughput"] / (4 * r_lo["throughput"]))
+    med = lambda xs: round(statistics.median(xs), 2)
     return {
-        f"local{lo}": results[lo],
-        f"local{hi}": results[hi],
-        "speedup": round(results[hi]["median_throughput"] / results[lo]["median_throughput"], 3),
-        "scaling_efficiency_4x": round(eff, 3),
+        f"local{lo}": {
+            "median_wall_sec": med([r["wall"] for r in lo_runs]),
+            "median_throughput": med([r["throughput"] for r in lo_runs]),
+            "runs": [round(r["wall"], 2) for r in lo_runs],
+        },
+        f"local{hi}": {
+            "median_wall_sec": med([r["wall"] for r in hi_runs]),
+            "median_throughput": med([r["throughput"] for r in hi_runs]),
+            "runs": [round(r["wall"], 2) for r in hi_runs],
+        },
+        "pair_efficiencies": [round(e, 3) for e in pairs],
+        "host_control_per_pair": controls,
+        "scaling_efficiency_4x": round(statistics.median(pairs), 3),
+        "host_control_efficiency_median": round(
+            statistics.median(c["control_eff"] for c in controls), 3
+        ),
     }
 
 
