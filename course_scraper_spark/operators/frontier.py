@@ -551,6 +551,10 @@ def crawl_sources_budgeted(
     salt_hosts_threshold: int | None = None,
     broadcast_wave_threshold: int = BROADCAST_WAVE_THRESHOLD,
     obey_disallow: bool = False,
+    state_store=None,
+    resume: bool = False,
+    metrics_store=None,
+    run_id: str = "run",
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -602,9 +606,19 @@ def crawl_sources_budgeted(
         from .robots import filter_disallowed
 
         pending = filter_disallowed(pending, robots)
-    seen = pending.withColumn("visited", F.lit(True)).localCheckpoint(eager=True)
-    seq_base = {rt.source.source_id: 1 for rt in runtimes}
-    rounds = 0
+    resumed = state_store.latest_round() if (state_store is not None and resume) else None
+    if resumed is not None:
+        rounds, seq_base, snap = resumed
+        seen = state_store.read_seen(snap)
+        pending = state_store.read_pending(rounds)
+    else:
+        seen = pending.withColumn("visited", F.lit(True)).localCheckpoint(eager=True)
+        seq_base = {rt.source.source_id: 1 for rt in runtimes}
+        rounds = 0
+        if state_store is not None:
+            # round 0 = the root set: without it, a resume would replay
+            # only the per-round deltas and lose the roots from seen
+            state_store.save_round(0, seen, pending, seq_base)
 
     from .politeness import split_by_budget, with_schedule
 
@@ -624,6 +638,18 @@ def crawl_sources_budgeted(
         if n_now == 0:
             break
         deferred = deferred.localCheckpoint(eager=True)
+
+        if metrics_store is not None:
+            # per-host-bucket lineage (north rule), same shape as the BFS
+            # loop: fetched/failed per host per round
+            from .metrics import fetch_stats_per_host
+
+            joined_m = now.select("source_id", "url", "host").join(
+                pages_slim.select("p_url", "status_code", "fetch_mode"),
+                F.col("url") == F.col("p_url"),
+                "left",
+            )
+            metrics_store.record_wave(run_id, rounds, fetch_stats_per_host(joined_m))
 
         expandable = now.join(dim, "source_id").filter(
             F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
@@ -747,6 +773,8 @@ def crawl_sources_budgeted(
         )
         seen = seen.unionByName(delta)
         pending = deferred.unionByName(fetchable_new).localCheckpoint(eager=True)
+        if state_store is not None:
+            state_store.save_round(rounds, delta, pending, seq_base)
         cand.unpersist()
         result.metrics.append(WaveMetrics(depth=rounds, wave_size=n_new, new_urls=n_new))
         if n_new == 0 and deferred.isEmpty():

@@ -43,3 +43,37 @@ class CrawlStateStore:
 
     def read_seen(self, snapshot_id: int | None = None) -> DataFrame:
         return self.seen.read(snapshot_id=snapshot_id)
+
+
+class BudgetedStateStore(CrawlStateStore):
+    """Round-checkpointed state for the budgeted priority-frontier loop.
+
+    Two tables: ``url_seen`` (append-only deltas, inherited) and
+    ``frontier`` (the pending queue — OVERWRITTEN per round, the
+    copy-on-write shape a mutable queue table takes in Iceberg). A killed
+    run resumes from the last completed round with identical final state
+    (tests/test_budgeted_crawl.py::test_budgeted_resume)."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+        super().__init__(spark, root, n_buckets)
+        self.frontier = SnapshotTable.create(
+            spark, os.path.join(root, "frontier"), bucket_col="host", n_buckets=n_buckets
+        )
+
+    def save_round(
+        self, rnd: int, seen_delta: DataFrame, pending: DataFrame, seq_base: dict[str, int]
+    ) -> None:
+        self.seen.append(
+            seen_delta, tag=f"round_{rnd}", meta={"round": rnd, "seq_base": seq_base}
+        )
+        self.frontier.overwrite(pending, tag=f"round_{rnd}", meta={"round": rnd})
+
+    def latest_round(self) -> tuple[int, dict[str, int], int] | None:
+        """(round, seq_base, seen_snapshot_id) of the last committed round."""
+        for c in reversed(self.seen.commits):
+            if c.tag and c.tag.startswith("round_"):
+                return int(c.meta["round"]), dict(c.meta["seq_base"]), c.id
+        return None
+
+    def read_pending(self, rnd: int) -> DataFrame:
+        return self.frontier.read(tag=f"round_{rnd}")

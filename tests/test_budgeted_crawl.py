@@ -35,3 +35,28 @@ def test_budget_caps_per_round(spark, sources, pages, robots):
     visited = budgeted.seen.filter(F.col("visited")).count()
     full = crawl_sources(spark, sources, pages).seen.filter(F.col("visited")).count()
     assert visited < full
+
+
+def test_budgeted_resume_equals_uninterrupted(spark, sources, pages, robots, tmp_path):
+    """Kill after round k, resume from the round checkpoint: final seen
+    set identical to the uninterrupted budgeted run (north rule:
+    resumable from checkpoint)."""
+    from course_scraper_spark.storage.crawl_state import BudgetedStateStore
+
+    full = crawl_sources_budgeted(spark, sources, pages, robots=robots, round_budget_s=8.0)
+
+    store = BudgetedStateStore(spark, str(tmp_path / "bstate"), n_buckets=8)
+    crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=8.0,
+        state_store=store, max_rounds=2,
+    )
+    n_partial = store.read_seen().count()
+
+    resumed = crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=8.0,
+        state_store=store, resume=True,
+    )
+    want = sorted((r.source_id, r.url) for r in full.seen.select("source_id", "url").collect())
+    got = sorted((r.source_id, r.url) for r in resumed.seen.select("source_id", "url").collect())
+    assert got == want
+    assert len(got) > n_partial  # the kill actually cut it short
