@@ -104,7 +104,17 @@ def build_delta(
 
 
 def compact(sidecar: DataFrame) -> DataFrame:
-    """OR-merge all delta blooms per bucket (resizing to the max m)."""
+    """OR-merge all delta blooms per bucket, TILING up to the largest m.
+
+    Sound because every m is a power of two and probe positions are
+    ``(h1 + i*h2) mod m`` ≡ ``x & (m-1)``: tiling a small filter
+    m_large/m_small times gives tiled[x & (m_large-1)] ==
+    small[x & (m_small-1)] — the tiled copy answers EXACTLY like the
+    original (no false negatives, and each delta's false-positive rate is
+    preserved, unlike folding down, which saturates when a big delta is
+    crushed into a small one). The merged filter's fp rate is ~the sum of
+    the deltas' rates — the same as probing them separately — while probe
+    fan-out drops to one blob per bucket."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket"].iloc[0])
@@ -115,13 +125,8 @@ def compact(sidecar: DataFrame) -> DataFrame:
             src = np.frombuffer(blob, dtype=np.uint8)
             if int(mb) == m:
                 acc |= src
-            else:
-                # different size: tile smaller filter across the larger one
-                # is NOT sound; rebuild marker instead — callers keep
-                # bits_per_key fixed so sizes differ only with n; we upcast
-                # by re-hashing is impossible here, so we fall back to
-                # treating every key as maybe-present (all-ones) — safe.
-                acc[:] = 0xFF
+            else:  # tile the smaller filter up (exactness preserved)
+                acc |= np.tile(src, m // int(mb))
             total += int(mb_keys)
         return pd.DataFrame({"bucket": [b], "m_bits": [m], "bits": [acc.tobytes()], "n_keys": [total]})
 

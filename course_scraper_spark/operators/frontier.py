@@ -504,6 +504,13 @@ def crawl_sources(
                     delta.withColumn("_k", bloom_key), url_col="_k", n_buckets=bloom_buckets
                 ).localCheckpoint(eager=True)
             )
+            if filter_kind == "bloom" and (waves_run + 1) % 8 == 0:
+                # bound probe fan-out: one blob per wave accumulates, so
+                # fold the deltas every 8 waves (bloom only — cuckoo
+                # fingerprint tables don't OR-merge)
+                from .bloom import compact
+
+                sidecar = compact(sidecar).localCheckpoint(eager=True)
         if state_store is not None:
             state_store.save_wave(next_depth, delta, seq_base)
             seen = state_store.read_seen()

@@ -131,24 +131,38 @@ def scrape_targets(
     pages: DataFrame,
     schemas: DataFrame,
     parse_partitions: int | None = None,
+    n_targets: int | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> ScrapeOutput:
     """targets: (source_id, url). pages: synthetic web. schemas:
-    (source_id, schema_json)."""
+    (source_id, schema_json).
+
+    ``n_targets`` (row-count hint, no job spent): at or below
+    ``broadcast_threshold`` — and when no hint is given (the small-crawl
+    callers) — the slim target list is broadcast so the page-body table
+    never shuffles (html is the heavy column). The threshold is a DRIVER
+    MEMORY bound, not a performance bound: A/B at 460k targets measured
+    the shuffle path at 159s/123s (4/16 cores) vs 103s/33s broadcast —
+    moving the html corpus through the exchange loses outright, so
+    broadcast stays right up to the memory limit (~5M rows ≈ 400 MB
+    serialized), and only a frontier beyond that routes to the shuffle
+    join (which would OOM the driver otherwise)."""
     # F7: skip 'archive' URLs before any fetch (scraper.py:84)
     current = targets.filter(~F.col("url").contains("archive"))
 
-    # Broadcast the slim target-URL side so the page-body table never
-    # moves through a shuffle (html is the heavy column; an SMJ here
-    # writes the whole corpus to exchange disk). The per-source schema
-    # joins on AFTER the fetch so schema_json is never part of the
-    # broadcast. Inner join == left join: URLs with no page row fail
-    # fetch_ok and land in the bad flags via the anti-join below. On a
-    # live cluster the fetch happens inside the UDF (network), so this
-    # join only exists in the synthetic harness.
+    # The per-source schema joins on AFTER the fetch so schema_json is
+    # never part of the join. Inner join == left join: URLs with no page
+    # row fail fetch_ok and land in the bad flags via the anti-join
+    # below. On a live cluster the fetch happens inside the UDF
+    # (network), so this join only exists in the synthetic harness.
     slim = current.select("source_id", "url")
+    left = (
+        slim
+        if (n_targets is not None and n_targets > broadcast_threshold)
+        else F.broadcast(slim)
+    )
     fetched = (
-        F.broadcast(slim)
-        .join(
+        left.join(
             pages.select(F.col("url").alias("p_url"), "html", "status_code", "fetch_mode"),
             slim.url == F.col("p_url"),
             "inner",

@@ -58,3 +58,21 @@ def test_probe_plan_is_cogrouped_not_collected(spark, seen_df, sidecar):
     driver collect + closure capture — the north-rule scale contract."""
     plan = probe(seen_df, sidecar, n_buckets=16)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_compact_folds_mixed_sizes_no_false_negatives(spark):
+    """Deltas of different sizes (300 vs 30000 keys -> different pow2 m)
+    fold to the smallest m with zero false negatives."""
+    small = spark.createDataFrame([("s", f"u{i}") for i in range(300)], ["source_id", "url"])
+    big = spark.createDataFrame([("s", f"v{i}") for i in range(30000)], ["source_id", "url"])
+    sidecar = build_delta(small, n_buckets=4).unionByName(build_delta(big, n_buckets=4))
+    ms = {r.m_bits for r in sidecar.select("m_bits").distinct().collect()}
+    assert len(ms) > 1, "fixture must produce mixed filter sizes"
+    folded = compact(sidecar).cache()
+    assert folded.count() == 4  # one blob per bucket
+    both = small.unionByName(big)
+    assert probe(both, folded, n_buckets=4).filter("NOT maybe_seen").count() == 0
+    # and it still prunes: fresh keys mostly probe as definitely-new
+    fresh = spark.createDataFrame([("s", f"w{i}") for i in range(5000)], ["source_id", "url"])
+    fp = probe(fresh, folded, n_buckets=4).filter("maybe_seen").count() / 5000
+    assert fp < 0.2, fp
