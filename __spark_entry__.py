@@ -30,6 +30,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  simhash                   q_simhash
   dedup  simhash near-pairs        q_simhash_pairs
   dedup  embedding cosine          q_embedding_neardup
+  dedup  embedding cosine (LSH)    q_embedding_neardup_lsh
   ANN    brute-force top-k         q_ann_topk
   ANN    LSH-bucketed top-k        q_ann_lsh_topk
   text   token/quality stats       q_token_stats
@@ -331,6 +332,17 @@ def q_embedding_neardup(spark, sf):
     ).select("id_a", "id_b")
 
 
+def q_embedding_neardup_lsh(spark, sf):
+    # the scale path: LSH-bucketed pair generation (2 hyperplane tables),
+    # exact-cosine verify — vs the label-blocked brute force above
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return SIM.lsh_near_dup_pairs(emb, dim=64, n_planes=4, n_tables=2, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+
+
 _QUERY_VEC_ID = 0
 
 
@@ -403,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_token_stats": q_token_stats,
@@ -712,6 +725,39 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
 SELECT vec_id FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id LIMIT 10
+"""
+
+    # embedding near-dup, LSH path: per hyperplane TABLE t, bucket = sign
+    # bits of planes t*4..t*4+3; candidates share a bucket in any table
+    # (UNION dedups), verified by exact cosine — mirrors
+    # similarity.lsh_near_dup_pairs
+    def _bucket_sql(vexpr: str, table: int) -> str:
+        terms = []
+        for b in range(4):
+            plane = SIM.hyperplane(table * 4 + b, 64)
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vexpr}, {lit}) >= 0 THEN {2 ** b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    table_joins = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt{t} a "
+        f"JOIN bkt{t} b ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
+        for t in range(2)
+    )
+    bkt_ctes = ",\n".join(
+        f"bkt{t} AS (SELECT vec_id, ({_bucket_sql('embedding::DOUBLE[]', t)}) AS bkt FROM embeddings)"
+        for t in range(2)
+    )
+    out["q_embedding_neardup_lsh"] = f"""
+WITH {bkt_ctes},
+cand AS ({table_joins})
+SELECT id_a, id_b
+FROM cand
+JOIN embeddings x ON x.vec_id = id_a
+JOIN embeddings y ON y.vec_id = id_b
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.35
 """
 
     # ANN LSH top-k: identical deterministic hyperplanes (md5-derived, dim

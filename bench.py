@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q_span_flatten",
     "q_ann_topk",
     "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
     "q_url_canonicalize",
     "q_merge_upsert",
 ]

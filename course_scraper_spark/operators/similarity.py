@@ -101,6 +101,54 @@ def lsh_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs via LSH blocking — the scale path the
+    blocked brute force in ``dedup.embedding_near_dup`` documents.
+
+    ``n_tables`` independent hyperplane sets (planes t*n_planes..): a
+    pair is a candidate if it shares a bucket in ANY table (multi-table
+    recall boosting — for vectors at angle θ, each table catches the
+    pair with prob (1-θ/π)^n_planes, so tables union toward 1). The
+    bucket is the shuffle key — pair space is per-bucket, never global.
+    Candidates are verified with exact cosine ≥ threshold; deterministic
+    md5-derived planes make the result reproducible and SQL-mirrorable
+    (hash-exact DuckDB oracle in __spark_entry__)."""
+    cands = None
+    for t in range(n_tables):
+        planes = [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
+        bucketed = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs_t = (
+            a.join(b, F.col("a._bucket") == F.col("b._bucket"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
+    cands = cands.distinct()
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 8,

@@ -46,3 +46,37 @@ def test_ivf_topk_runs_and_finds_best(emb):
     exact_best = S.brute_force_topk(emb, QUERY, k=1).collect()[0].vec_id
     got = [r.vec_id for r in S.ivf_topk(emb, QUERY, k=3, n_lists=4, nprobe=4).collect()]
     assert exact_best in got  # nprobe=all lists -> must contain the true best
+
+
+def test_lsh_near_dup_pairs_finds_near_dups(spark):
+    from course_scraper_spark.operators.similarity import lsh_near_dup_pairs
+
+    # 3 clusters of near-identical vectors + isolated points, dim 8
+    import math
+    def unit(seed):
+        vals = [math.sin(seed * 13.7 + j) for j in range(8)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = unit(c + 1)
+        for k in range(3):  # jittered copies: cosine ~0.999
+            v = [x + 0.01 * math.sin(vid * 7.3 + j) for j, x in enumerate(base)]
+            rows.append((vid, v)); vid += 1
+    rows.append((vid, unit(99))); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(emb, dim=8, threshold=0.99).collect()}
+    # brute-force expected pairs
+    import itertools
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    vecs = dict(rows)
+    want = {(a, b) for a, b in itertools.combinations(sorted(vecs), 2) if cos(vecs[a], vecs[b]) >= 0.99}
+    # within-cluster pairs must all be found (near-identical vectors land
+    # in the same bucket in every table w.h.p.); no false pairs survive
+    # the exact-cosine verify
+    assert got <= want
+    assert len(got) >= len(want) - 1  # allow one boundary-angle miss
