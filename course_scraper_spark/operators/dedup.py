@@ -306,14 +306,22 @@ def embedding_near_dup(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
     norm = lambda x: F.sqrt(dot(x, x))
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    # per-vector norms computed BEFORE the pair join: one interpreted
+    # aggregate per pair (the dot), not three
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("blk"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk"
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk"
     )
     pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)

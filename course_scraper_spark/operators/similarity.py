@@ -138,12 +138,22 @@ def lsh_near_dup_pairs(
         cands = pairs_t if cands is None else cands.unionByName(pairs_t)
     cands = cands.distinct()
 
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms are per-VECTOR: compute once before the pair join so each
+    # candidate pair costs one dot-product aggregate, not three (the
+    # higher-order aggregate is interpreted — measured 3x the verify
+    # cost when norms rode the pair side). NOTE: a 64-term unrolled
+    # element_at chain is NOT the fix — it blew past the codegen/JIT
+    # method budget and ran 3.6x slower than the HOF aggregate.
+    normed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    va = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
