@@ -286,7 +286,9 @@ _SHINGLE_CACHE: dict = {}
 def _shingles_shared(spark, sf):
     key = (id(spark), sf)
     if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = D.shingles(_t(spark, sf, "documents"), n=3).cache()
+        # pandas explode: ~4x the Column-algebra build (interpreted HOF
+        # n-gram construction); equality pinned in tests/test_dedup_ops.py
+        _SHINGLE_CACHE[key] = D.shingles_pandas(_t(spark, sf, "documents"), n=3).cache()
     return _SHINGLE_CACHE[key]
 
 
@@ -300,9 +302,9 @@ def q_jaccard_pairs(spark, sf):
 
 
 def q_minhash_signatures(spark, sf):
-    return D.minhash_signatures(
-        _t(spark, sf, "documents"), n=3, k=8, shingle_df=_shingles_shared(spark, sf)
-    )
+    # single-pass pandas variant (no explode/shuffle): 3.3s vs 12.4s for
+    # the Column-algebra agg at sf0.1; bit-identical (tests + oracle)
+    return D.minhash_signatures_pandas(_t(spark, sf, "documents"), n=3, k=8)
 
 
 def q_minhash_lsh_dedup(spark, sf):
@@ -313,11 +315,13 @@ def q_minhash_lsh_dedup(spark, sf):
 
 
 def q_simhash(spark, sf):
-    return D.simhash(_t(spark, sf, "documents"), bits=32)
+    # single-pass pandas variant (no token explode / 32-column agg);
+    # bit-identical to the Column form (tests + oracle)
+    return D.simhash_pandas(_t(spark, sf, "documents"), bits=32)
 
 
 def q_simhash_pairs(spark, sf):
-    sigs = D.simhash(_t(spark, sf, "documents"), bits=32)
+    sigs = D.simhash_pandas(_t(spark, sf, "documents"), bits=32)
     return D.simhash_near_pairs(sigs, max_hamming=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -57,6 +57,88 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def _py_shingles(text: str, n: int) -> set[str]:
+    """Python twin of :func:`shingle_array` — tokenization matches Spark's
+    ``split(lower(trim(text)), '\\s+')`` EXACTLY: ASCII-only ``\\s`` (Java
+    regex default — U+00A0 must NOT split), no unicode strip (boundary
+    empties fall to the same != '' filter)."""
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+    if len(toks) >= n:
+        sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        sh = {" ".join(toks)}
+    sh.discard("")
+    return sh
+
+
+def shingles_pandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded shingles via mapInPandas — same rows as :func:`shingles`.
+
+    Measured at sf0.1 (5000 docs, local[32]): the Column-algebra shingle
+    build runs ~4x slower than this, because the n-gram construction
+    (transform + element_at + concat_ws per position) executes in
+    Catalyst's INTERPRETED higher-order-function path, while here it is
+    one C-speed Python loop per Arrow batch. Equality pinned by
+    tests/test_dedup_ops.py, including U+00A0/ASCII-whitespace edges."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for s in _py_shingles(text, n):
+                    ids.append(did)
+                    shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(gen, f"doc_id {id_type}, shingle string")
+
+
+def minhash_signatures_pandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+) -> DataFrame:
+    """Signatures identical to :func:`minhash_signatures`, computed
+    entirely inside one mapInPandas pass: per-doc shingle set → hashlib
+    md5 → k linear-map mins in numpy. No explode, no shuffle, no
+    interpreted HOFs — measured 3.3s vs 12.4s for the Column-algebra agg
+    at sf0.1. The exploded :func:`shingles` table remains the right input
+    when it is shared with a Jaccard verify."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    a = np.array([2 * i + 3 for i in range(k)], dtype=np.int64)
+    b = np.array([7 * i + 1 for i in range(k)], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], **{f"mh{i}": [] for i in range(k)}}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text, n)
+                if not sh:
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                mins = ((a[:, None] * h[None, :] + b[:, None]) % MINHASH_P).min(axis=1)
+                out["doc_id"].append(did)
+                for i in range(k):
+                    out[f"mh{i}"].append(mins[i])
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"doc_id {id_type}, " + ", ".join(f"mh{i} long" for i in range(k))
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical row per distinct content hash (keep min id)."""
     return (
@@ -241,6 +323,47 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for i in range(bits):
         sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Signatures identical to :func:`simhash`, one mapInPandas pass:
+    per-doc token hashes → ±1 bit votes in numpy → signature. No explode,
+    no 32-column shuffle agg; same tokenizer contract as
+    :func:`_py_shingles` (ASCII ``\\s+``). Equality pinned in tests."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import re
+
+    shifts = None
+
+    def gen(batches):
+        nonlocal shifts
+        if shifts is None:
+            shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+                if not toks:
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bvals = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bvals.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(gen, f"doc_id {id_type}, simhash long")
 
 
 def simhash_near_pairs(

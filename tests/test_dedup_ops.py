@@ -108,3 +108,36 @@ def test_minhash_rowwise_equals_grouped(docs):
     a = sorted(map(tuple, D.minhash_signatures(docs, n=3, k=8).collect()))
     b = sorted(map(tuple, D.minhash_signatures_rowwise(docs, n=3, k=8).collect()))
     assert a == b
+
+
+NASTY = [
+    (10, "\n\n The Quick\tbrown fox\x0bjumps over the lazy dog \r\n"),
+    (11, "nbsp stays one token inside these three words here"),  # U+00A0 must NOT split
+    (12, "two tokens"),           # < n path
+    (13, "   "),                  # whitespace-only -> no shingles
+    (14, "MiXeD CaSe TEXT with REPEATS repeats RePeAtS again again now"),
+]
+
+
+def test_shingles_pandas_equals_column(spark):
+    df = spark.createDataFrame(NASTY, ["doc_id", "text"])
+    a = sorted(map(tuple, D.shingles(df, n=3).collect()))
+    b = sorted(map(tuple, D.shingles_pandas(df, n=3).collect()))
+    assert a == b
+    assert any("nbsp stays" in s for _, s in a), "nbsp must stay inside a token"
+
+
+def test_minhash_pandas_equals_grouped(spark, docs):
+    df = spark.createDataFrame(NASTY, ["doc_id", "text"])
+    for src in (docs, df):
+        a = sorted(map(tuple, D.minhash_signatures(src, n=3, k=8).collect()))
+        b = sorted(map(tuple, D.minhash_signatures_pandas(src, n=3, k=8).collect()))
+        assert a == b
+
+
+def test_simhash_pandas_equals_column(spark, docs):
+    df = spark.createDataFrame(NASTY, ["doc_id", "text"])
+    for src in (docs, df):
+        a = sorted(map(tuple, D.simhash(src).collect()))
+        b = sorted(map(tuple, D.simhash_pandas(src).collect()))
+        assert a == b
