@@ -38,3 +38,40 @@ def test_no_cartesian_in_contract_queries(spark):
 def test_codegen_present_in_builtin_pipeline(spark):
     df = entrymod.q_token_stats(spark, SF)
     assert audit.codegen_stage_count(df) >= 1
+
+
+def test_robots_disallow_is_pure_codegen(spark):
+    """The Disallow filter is Column algebra — no Python UDF node may
+    appear in its plan (BatchEvalPython / ArrowEvalPython / mapInPandas)."""
+    from course_scraper_spark.operators.robots import filter_disallowed
+
+    frontier = spark.createDataFrame(
+        [("a.edu", f"https://a.edu/p{i}") for i in range(100)], ["host", "url"]
+    )
+    robots = spark.createDataFrame(
+        [("a.edu", 1.0, ["/private/"])], "host string, crawl_delay double, disallow array<string>"
+    )
+    plan = audit.plan_string(filter_disallowed(frontier, robots), "simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert node not in plan, node
+    assert audit.has_broadcast_join(filter_disallowed(frontier, robots))
+
+
+def test_salted_repartition_single_shuffle(spark):
+    """salting = hot-key count + ONE repartition exchange; the data path
+    must not pick up extra exchanges."""
+    from course_scraper_spark.operators.salting import salted_repartition
+
+    df = spark.createDataFrame(
+        [("h.edu", f"https://h.edu/p{i}") for i in range(1000)], ["host", "url"]
+    )
+    out = salted_repartition(df, "host", n_salts=4, threshold=10, num_partitions=8)
+    plan = audit.plan_string(out, "simple")
+    # exactly one REPARTITION exchange on the data path; the only other
+    # exchange allowed is the hot-key count's partial-agg shuffle (tiny,
+    # separate subtree feeding the broadcast)
+    import re
+
+    repartitions = re.findall(r"REPARTITION_BY_NUM", plan)
+    assert len(repartitions) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
