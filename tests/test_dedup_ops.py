@@ -141,3 +141,22 @@ def test_simhash_pandas_equals_column(spark, docs):
         a = sorted(map(tuple, D.simhash(src).collect()))
         b = sorted(map(tuple, D.simhash_pandas(src).collect()))
         assert a == b
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops ubiquitous shingles BEFORE the self-join (the
+    hot-key guard): a shingle shared by every doc must not create pairs,
+    while genuinely-similar docs still match on their rare shingles."""
+    boiler = "all rights reserved by the university catalog office"
+    rows = [
+        (1, f"unique alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"unique alpha beta gamma delta epsilon zeta {boiler}"),
+        (3, f"totally different content words here nothing shared {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=2).collect()
+    }
+    assert (1, 2) in pairs          # rare shingles (df=2) survive the cap
+    assert not any(3 in p for p in pairs)  # boilerplate (df=3) capped away

@@ -52,3 +52,37 @@ def test_budget_split_is_partition(spark, wave, robots):
     max_now = now.filter(F.col("host") == "h0.edu").agg(F.max("seq")).first()[0]
     min_def = deferred.filter(F.col("host") == "h0.edu").agg(F.min("seq")).first()[0]
     assert max_now < min_def
+
+
+def test_schedule_deterministic_on_seq_ties(spark):
+    """Two sources sharing a host collide on seq: the slot must be
+    deterministic ((source_id, url) tiebreakers), not row-order luck."""
+    from course_scraper_spark.operators.politeness import with_schedule
+
+    rows = [
+        ("srcB", "https://h.edu/b", "h.edu", 1, 1),
+        ("srcA", "https://h.edu/a", "h.edu", 1, 1),
+        ("srcA", "https://h.edu/a2", "h.edu", 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "source_id string, url string, host string, depth int, seq long")
+    outs = []
+    for _ in range(3):
+        sched = with_schedule(df.repartition(4))
+        outs.append(sorted((r.source_id, r.url, r.slot) for r in sched.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    slots = {(sid, url): slot for sid, url, slot in outs[0]}
+    # seq ties break by source_id then url: srcA/a=1, srcB/b=2, then seq 2
+    assert slots[("srcA", "https://h.edu/a")] == 1
+    assert slots[("srcB", "https://h.edu/b")] == 2
+    assert slots[("srcA", "https://h.edu/a2")] == 3
+
+
+def test_host_budget_ceiling(spark):
+    from course_scraper_spark.operators.politeness import host_budget
+
+    robots = spark.createDataFrame(
+        [("fast.edu", 0.5), ("slow.edu", 2.0), ("default.edu", None)],
+        "host string, crawl_delay double",
+    )
+    got = {r.host: r.max_urls_per_wave for r in host_budget(robots, wave_seconds=10.0).collect()}
+    assert got == {"fast.edu": 20, "slow.edu": 5, "default.edu": 10}
