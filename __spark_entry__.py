@@ -279,17 +279,35 @@ def q_exact_dedup(spark, sf):
 
 
 # one cached shingle explode shared by the whole dedup query family
-# (jaccard / minhash / LSH) — the explode is their dominant cost
+# (jaccard / minhash / LSH) — the explode is their dominant cost.
+# Keyed on applicationId (NOT id(spark): a stopped session's id can be
+# reused by a new one, handing out DataFrames bound to a dead session);
+# entries from older applications are unpersisted and evicted.
 _SHINGLE_CACHE: dict = {}
 
 
 def _shingles_shared(spark, sf):
-    key = (id(spark), sf)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf)
+    for stale in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
+        try:
+            _SHINGLE_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # dead session: nothing to unpersist
     if key not in _SHINGLE_CACHE:
         # pandas explode: ~4x the Column-algebra build (interpreted HOF
         # n-gram construction); equality pinned in tests/test_dedup_ops.py
         _SHINGLE_CACHE[key] = D.shingles_pandas(_t(spark, sf, "documents"), n=3).cache()
     return _SHINGLE_CACHE[key]
+
+
+def shingle_cache_clear():
+    """Unpersist + drop every cached shingle table (bench teardown hook)."""
+    for key in list(_SHINGLE_CACHE):
+        try:
+            _SHINGLE_CACHE.pop(key).unpersist()
+        except Exception:
+            pass
 
 
 def q_jaccard_pairs(spark, sf):
@@ -365,7 +383,8 @@ def q_ann_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    # rows-only: approximate by construction (bucket pruning)
+    # hash-exact oracle: deterministic md5-derived planes are mirrored as
+    # float literals in the DuckDB SQL, so both engines prune identically
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )

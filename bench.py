@@ -95,6 +95,7 @@ def main():
         timings[name] = round(time.time() - t0, 3)
     total_q = round(sum(timings.values()), 2)
 
+    entrymod.shingle_cache_clear()
     print(
         json.dumps(
             {

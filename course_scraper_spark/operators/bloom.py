@@ -152,7 +152,15 @@ def probe(
     driver or a task closure, so a 10^10-key sidecar (~15 GB at
     12 bits/key) stays distributed. Matching Iceberg layout: sidecar
     table bucketed on ``bucket``, so this cogroup is a co-partitioned
-    local join."""
+    local join.
+
+    Per-group memory bound: cogrouped ``applyInPandas`` materializes ONE
+    bucket's candidate rows as a single pandas frame (unlike mapInPandas,
+    which streams Arrow batches) — each task holds ~candidates/n_buckets
+    rows plus that bucket's blobs. Size ``n_buckets`` with the corpus so
+    one group fits executor memory: at 10^10 candidates keep
+    candidates/n_buckets ≤ ~10M slim rows (≲1 GB), i.e. n_buckets ≥ ~1k;
+    the bucket key is uniform (xxhash64), so groups stay balanced."""
     keyed = candidates.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
         "_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
     )

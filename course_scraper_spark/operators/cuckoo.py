@@ -160,6 +160,27 @@ class CuckooFilter:
 # bucket-cogrouped path, never the driver.
 
 
+def build_filter(h: np.ndarray, filter_cls=None) -> "CuckooFilter":
+    """Build a filter holding EVERY key in ``h`` — or raise.
+
+    A key silently dropped here would later probe 'definitely new' and
+    bypass the exact anti-join (bloom.dedup_with_bloom) — a false
+    NEGATIVE, breaking the module's exactness contract. So the build must
+    converge: double capacity until every insert lands (the 0.7-load
+    sizing means the first attempt virtually always succeeds) and raise
+    loudly rather than return a lossy filter."""
+    cls = filter_cls or CuckooFilter
+    n_keys = max(64, len(h))
+    for attempt in range(8):
+        cf = cls(n_keys=n_keys << attempt)
+        if cf.insert_many(h) == 0:
+            return cf
+    raise RuntimeError(
+        f"cuckoo build_filter: {len(h)} keys failed to place even at "
+        f"{n_keys << 7} capacity"
+    )
+
+
 def build_delta(delta, url_col: str = "url", n_buckets: int = 64):
     """One delta cuckoo-filter row per bucket for a wave's new URLs."""
     import pandas as pd
@@ -175,11 +196,7 @@ def build_delta(delta, url_col: str = "url", n_buckets: int = 64):
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket"].iloc[0])
         h = pdf["h"].to_numpy().astype(np.uint64)
-        cf = CuckooFilter(n_keys=max(64, len(h)))
-        fails = cf.insert_many(h)
-        if fails:  # never with the 0.7-load sizing; keep exactness anyway
-            cf = CuckooFilter(n_keys=max(64, len(h) * 2))
-            cf.insert_many(h)
+        cf = build_filter(h)
         return pd.DataFrame(
             {
                 "bucket": [b],

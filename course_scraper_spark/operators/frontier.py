@@ -158,6 +158,20 @@ class CrawlResult:
         ]
 
 
+def _root_probe(pages: DataFrame, root_urls: list[str]) -> DataFrame:
+    """The root-fetch projection: (url, status_code, is_mc) ONLY.
+
+    The Modern-Campus substring check runs executor-side inside the scan
+    (``contains``), so the collect ships one boolean per source — never
+    the html column. At O(100k sources) x ~100 KB pages, collecting html
+    would be ~10 GB on the driver for one bit per row."""
+    return pages.filter(F.col("url").isin(root_urls)).select(
+        "url",
+        "status_code",
+        F.col("html").contains("Modern Campus Catalog").alias("is_mc"),
+    )
+
+
 def resolve_sources(
     spark: SparkSession, sources: list[SourceConfig], pages: DataFrame
 ) -> tuple[list[SourceRuntime], list[str]]:
@@ -165,15 +179,11 @@ def resolve_sources(
 
     The reference's root fetch has no retry/fallback and aborts the
     source on any HTTP error (``raise_for_status``, crawler.py:180).
-    One tiny job: semi-join pages to the root URL list.
+    One tiny job: semi-join pages to the root URL list, collecting only
+    (url, status_code, is_mc) — see :func:`_root_probe`.
     """
     roots = {s.root_url: s for s in sources}
-    root_rows = (
-        pages.filter(F.col("url").isin(list(roots)))
-        .select("url", "status_code", "html")
-        .collect()
-    )
-    by_url = {r.url: r for r in root_rows}
+    by_url = {r.url: r for r in _root_probe(pages, list(roots)).collect()}
     runtimes, failed = [], []
     for s in sources:
         r = by_url.get(s.root_url)
@@ -184,7 +194,7 @@ def resolve_sources(
         runtimes.append(
             SourceRuntime(
                 source=s,
-                is_mc="Modern Campus Catalog" in r.html,
+                is_mc=bool(r.is_mc),
                 scope_domain=domain,
                 root_path=root_path,
             )
@@ -601,6 +611,10 @@ def crawl_sources_budgeted(
         F.col("url").alias("p_url"), "host", "html", "status_code", "fetch_mode"
     )
 
+    # static dim: count once, so every schedule/robots join in the loop
+    # can gate its broadcast without re-counting
+    robots_rows = robots.count() if robots is not None else None
+
     pending = spark.createDataFrame(
         [(rt.source.source_id, rt.source.root_url, rt.scope_domain, 0, 1) for rt in runtimes],
         "source_id string, url string, host string, depth int, seq long",
@@ -612,7 +626,7 @@ def crawl_sources_budgeted(
         # equality paths keep delay-only behavior.
         from .robots import filter_disallowed
 
-        pending = filter_disallowed(pending, robots)
+        pending = filter_disallowed(pending, robots, robots_rows=robots_rows)
     resumed = state_store.latest_round() if (state_store is not None and resume) else None
     if resumed is not None:
         rounds, seq_base, snap = resumed
@@ -631,7 +645,7 @@ def crawl_sources_budgeted(
 
     while rounds < (max_rounds if max_rounds is not None else 10_000):
         rounds += 1
-        sched = with_schedule(pending, robots)  # slot by seq = priority order
+        sched = with_schedule(pending, robots, robots_rows=robots_rows)  # slot by seq = priority
         now, deferred = split_by_budget(sched, round_budget_s)
         now = now.drop("slot", "sched_time")
         if salt_hosts_threshold is not None:
@@ -731,7 +745,8 @@ def crawl_sources_budgeted(
             from .robots import filter_disallowed
 
             queue_cand = filter_disallowed(
-                queue_cand.withColumn("host", U.host_of(F.col("url"))), robots
+                queue_cand.withColumn("host", U.host_of(F.col("url"))), robots,
+                robots_rows=robots_rows,
             ).drop("host")
         new_urls = queue_cand.join(
             seen.select("source_id", "url"), ["source_id", "url"], "left_anti"

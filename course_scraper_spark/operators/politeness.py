@@ -28,9 +28,15 @@ from .ranking import assign_seq
 DEFAULT_CRAWL_DELAY = 1.0  # crawler.py:150: rp.crawl_delay("*") or 1.0
 
 
-def with_schedule(wave: DataFrame, robots: DataFrame | None = None) -> DataFrame:
+def with_schedule(
+    wave: DataFrame,
+    robots: DataFrame | None = None,
+    robots_rows: int | None = None,
+) -> DataFrame:
     """Add ``slot`` (1-based per-host fetch ordinal) and ``sched_time``
-    (seconds after wave start). ``robots``: (host, crawl_delay).
+    (seconds after wave start). ``robots``: (host, crawl_delay) — a
+    per-host dim, broadcast only below ROBOTS_BROADCAST_THRESHOLD rows
+    (pass ``robots_rows`` from the loop to skip the count job).
 
     The slot rank routes through the adaptive two-phase ranking
     (operators/ranking.py): small waves take one per-host window; big
@@ -39,8 +45,10 @@ def with_schedule(wave: DataFrame, robots: DataFrame | None = None) -> DataFrame
     tiebreakers keep the slot deterministic when two sources sharing a
     host collide on seq."""
     if robots is not None:
+        from .robots import robots_dim_side
+
         wave = wave.join(
-            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+            robots_dim_side(robots.select("host", "crawl_delay"), robots_rows), "host", "left"
         )
     else:
         wave = wave.withColumn("crawl_delay", F.lit(None).cast("double"))

@@ -67,18 +67,56 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def planes_for_corpus(n_vectors: int, target_bucket_size: int = 256, min_planes: int = 4) -> int:
+    """Plane count scaled to the corpus: n_planes ≈ log2(N / target).
+
+    A FIXED plane count saturates — 4 planes is 16 buckets for the whole
+    corpus, so per-bucket pair space is O((N/16)²) and the self-join goes
+    quadratic at 10⁹ vectors. Growing planes with log2(N) keeps the
+    expected bucket occupancy ≈ target_bucket_size at any corpus size
+    (10⁹ vectors / target 256 ⇒ 22 planes ⇒ 4M buckets)."""
+    if n_vectors <= 0:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(max(n_vectors / target_bucket_size, 1.0))))
+
+
+def check_bucket_load(
+    bucketed: DataFrame, bucket_col: str = "_bucket", max_bucket_rows: int | None = None
+) -> int:
+    """Loud saturation guard: returns the largest bucket's row count and
+    raises if it exceeds ``max_bucket_rows``. A silently-saturated bucket
+    is the failure mode of every fixed-parameter LSH — per-bucket pair
+    space is rows², so a 4M-row bucket is 16·10¹² pairs. One cheap
+    count-agg job over the bucket keys (never the vectors)."""
+    row = bucketed.groupBy(bucket_col).count().agg(F.max("count").alias("mx")).first()
+    mx = int(row.mx or 0)
+    if max_bucket_rows is not None and mx > max_bucket_rows:
+        raise RuntimeError(
+            f"LSH bucket saturation: largest bucket holds {mx} rows "
+            f"(> {max_bucket_rows}); raise n_planes (see planes_for_corpus)"
+        )
+    return mx
+
+
 def lsh_topk(
     emb: DataFrame,
     query: list[float],
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
     """ANN: score only vectors whose hyperplane bucket is within
-    ``multiprobe_hamming`` bits of the query's bucket."""
+    ``multiprobe_hamming`` bits of the query's bucket.
+
+    ``n_planes=None`` derives the plane count from a corpus count
+    (:func:`planes_for_corpus`) so buckets keep ~constant occupancy as
+    the corpus grows; pass an explicit value to pin reproducible buckets
+    (the oracle-checked contract queries do)."""
     dim = len(query)
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb.count())
     planes = [hyperplane(b, dim) for b in range(n_planes)]
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
 
@@ -106,9 +144,10 @@ def lsh_near_dup_pairs(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 2,
     threshold: float = 0.95,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via LSH blocking — the scale path the
     blocked brute force in ``dedup.embedding_near_dup`` documents.
@@ -120,7 +159,14 @@ def lsh_near_dup_pairs(
     bucket is the shuffle key — pair space is per-bucket, never global.
     Candidates are verified with exact cosine ≥ threshold; deterministic
     md5-derived planes make the result reproducible and SQL-mirrorable
-    (hash-exact DuckDB oracle in __spark_entry__)."""
+    (hash-exact DuckDB oracle in __spark_entry__).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (:func:`planes_for_corpus`) — a fixed count saturates as N grows.
+    ``max_bucket_rows`` turns on the loud per-table saturation guard
+    (:func:`check_bucket_load`)."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb.count())
     cands = None
     for t in range(n_tables):
         planes = [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
@@ -129,6 +175,8 @@ def lsh_near_dup_pairs(
             F.col(vec_col).alias("v"),
             lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
         )
+        if max_bucket_rows is not None:
+            check_bucket_load(bucketed, "_bucket", max_bucket_rows)
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs_t = (
             a.join(b, F.col("a._bucket") == F.col("b._bucket"))
@@ -159,32 +207,95 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer centroids: Lloyd's k-means on a deterministic
+    sample, driver-side numpy.
+
+    Driver-side is the right altitude here — IVF list counts are small
+    (n_lists ≤ 4096 documented bound; the sample is ≤ sample_size rows,
+    a few MB) while the ASSIGNMENT below stays distributed. Determinism:
+    the sample is the first ``sample_size`` rows by id order (not
+    takeSample's RNG), seeding is greedy farthest-point from sample row
+    0, and ties break to the lowest centroid index — same input ⇒ same
+    centroids. Farthest-point matters: consecutive-row seeds can all
+    land in one natural cluster (id order often correlates with
+    content), leaving Lloyd's stuck splitting it."""
+    import numpy as np
+
+    if n_lists > 4096:
+        raise ValueError(f"n_lists={n_lists} exceeds the driver-side k-means bound (4096)")
+    rows = emb.orderBy(id_col).limit(max(sample_size, n_lists)).select(vec_col).collect()
+    X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    # cosine k-means: operate on the unit sphere (spherical k-means)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xu = X / norms
+    # greedy k-center init: next seed = the sample point least similar to
+    # its nearest already-chosen seed (argmin ties -> lowest row index)
+    seed_idx = [0]
+    best_sim = Xu @ Xu[0]
+    for _ in range(1, n_lists):
+        nxt = int(np.argmin(best_sim))
+        seed_idx.append(nxt)
+        best_sim = np.maximum(best_sim, Xu @ Xu[nxt])
+    C = Xu[seed_idx].copy()
+    for _ in range(n_iter):
+        sims = Xu @ C.T  # (n, k) cosine since both sides unit-norm
+        assign = np.argmax(sims, axis=1)  # np.argmax ties -> lowest index
+        newC = np.zeros_like(C)
+        for j in range(n_lists):
+            members = Xu[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                newC[j] = m / n if n > 0 else C[j]
+            else:  # empty list keeps its seed — deterministic, no resample
+                newC[j] = C[j]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [(i, [float(x) for x in C[i]]) for i in range(n_lists)]
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse quantizer: centroids = the vectors whose id ≡ i mod
-    stride (deterministic sample — a real system would k-means); assign
-    every vector to its nearest centroid list."""
-    cents = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            emb.orderBy(id_col).limit(n_lists).collect()
-        )
-    ]
+    """IVF coarse quantizer: spherical-k-means centroids from a
+    deterministic sample (:func:`kmeans_centroids`); assign every vector
+    to its nearest centroid list."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        emb, n_lists, vec_col=vec_col, id_col=id_col
+    )
     # argmax over a FLAT array of (cos, -i) structs: one array_max, depth
     # O(1) in the Catalyst tree — the nested when/otherwise chain this
     # replaces grew the expression tree O(n_lists) deep and blew up
     # analysis at real IVF list counts (1024+). The centroid collect is
-    # inherently driver-side and tiny (n_lists rows).
+    # inherently driver-side and tiny (n_lists rows). Degenerate-cosine
+    # guard: a zero-norm row or centroid makes the division 0/0 — a
+    # DIVIDE_BY_ZERO error under ANSI mode, NaN otherwise, and struct
+    # ordering sorts NaN ABOVE every double, so an unguarded degenerate
+    # centroid would capture the whole corpus. try_divide + nanvl +
+    # coalesce pins both regimes to a score of -2.0 (below any cosine).
+    def _centroid_score(c):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        cnorm = math.sqrt(sum(float(v) * float(v) for v in c))
+        td = F.try_divide(_dot(F.col(vec_col), carr), _norm(F.col(vec_col)) * F.lit(cnorm))
+        return F.coalesce(F.nanvl(td, F.lit(-2.0)), F.lit(-2.0))
+
     scored = F.array(
         *[
-            F.struct(
-                cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("cos"),
-                F.lit(-i).alias("neg_i"),
-            )
+            F.struct(_centroid_score(c).alias("cos"), F.lit(-i).alias("neg_i"))
             for i, c in cents
         ]
     )

@@ -63,15 +63,26 @@ class BudgetedStateStore(CrawlStateStore):
     def save_round(
         self, rnd: int, seen_delta: DataFrame, pending: DataFrame, seq_base: dict[str, int]
     ) -> None:
+        # frontier FIRST, seen second: the seen append is the commit
+        # point. A crash between the two leaves an orphaned frontier
+        # snapshot (harmless — tags resolve to the latest commit, so the
+        # replay's re-overwrite supersedes it) instead of a seen tag whose
+        # frontier snapshot doesn't exist, which would break resume.
+        self.frontier.overwrite(pending, tag=f"round_{rnd}", meta={"round": rnd})
         self.seen.append(
             seen_delta, tag=f"round_{rnd}", meta={"round": rnd, "seq_base": seq_base}
         )
-        self.frontier.overwrite(pending, tag=f"round_{rnd}", meta={"round": rnd})
 
     def latest_round(self) -> tuple[int, dict[str, int], int] | None:
-        """(round, seq_base, seen_snapshot_id) of the last committed round."""
+        """(round, seq_base, seen_snapshot_id) of the last committed round.
+
+        Defensive against half-committed histories (e.g. written by an
+        older seen-first ordering): a seen round tag only counts if the
+        frontier holds a matching tag; otherwise fall back to the
+        previous completed round, which the resume then replays."""
+        frontier_tags = {c.tag for c in self.frontier.commits if c.tag}
         for c in reversed(self.seen.commits):
-            if c.tag and c.tag.startswith("round_"):
+            if c.tag and c.tag.startswith("round_") and c.tag in frontier_tags:
                 return int(c.meta["round"]), dict(c.meta["seq_base"]), c.id
         return None
 
