@@ -345,6 +345,21 @@ def q_simhash_pairs(spark, sf):
     )
 
 
+def q_simhash64(spark, sf):
+    # the SCALE configuration (Manku et al.): 64-bit signatures — two's-
+    # complement longs on both engines; banding gets 16-bit blocks
+    return D.simhash_pandas(_t(spark, sf, "documents"), bits=64)
+
+
+def q_simhash64_pairs(spark, sf):
+    # 4 x 16-bit blocks: 65,536 buckets/band (vs 256 at 32-bit) — the
+    # banding stays pigeonhole-exact at d<=3, so the oracle brute-forces
+    sigs = D.simhash_pandas(_t(spark, sf, "documents"), bits=64)
+    return D.simhash_near_pairs(sigs, max_hamming=3, n_blocks=4, bits=64).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_embedding_neardup(spark, sf):
     return D.embedding_near_dup(
         _t(spark, sf, "embeddings").withColumn(
@@ -437,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_dedup": q_minhash_lsh_dedup,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash64": q_simhash64,
+        "q_simhash64_pairs": q_simhash64_pairs,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
@@ -465,23 +482,37 @@ sh AS (
 """
 
 
-def _hex2int_sql(expr: str) -> str:
-    """Portable hex→int for an 8-hex-char expression (matches Spark's
-    conv(x,16,10))."""
+def _hex2int_sql(expr: str, n_chars: int = 8, hugeint: bool = False) -> str:
+    """Portable hex→int for an ``n_chars``-hex-char expression (matches
+    Spark's conv(x,16,10)). ``hugeint`` lifts the arithmetic to HUGEINT —
+    needed at 16 chars, where values reach 2^64-1 past BIGINT."""
+    cast = "::HUGEINT" if hugeint else ""
     terms = []
-    for i in range(8):
+    for i in range(n_chars):
         terms.append(
-            f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1){cast}"
+            f" * {16 ** (n_chars - 1 - i)}"
         )
     return "(" + " + ".join(terms) + ")"
 
 
-def _simhash_sql() -> str:
-    h = _hex2int_sql("md5(tok)")
+def _simhash_sql(bits: int = 32) -> str:
+    if bits == 32:
+        h = _hex2int_sql("md5(tok)")
+        bit = lambda i: f"(h >> {i}) & 1 = 1"
+        weight = lambda i: f"{2 ** i}::BIGINT"
+    else:
+        # 64-bit: token hash as HUGEINT (unsigned view); bit test via
+        # div/mod (portable — no HUGEINT shift dependency); signature
+        # assembled as a signed BIGINT, top bit contributing -2^63 —
+        # exactly Spark's two's-complement long
+        h = _hex2int_sql("md5(tok)", n_chars=16, hugeint=True)
+        bit = lambda i: f"(h // {2 ** i}::HUGEINT) % 2 = 1"
+        weight = lambda i: "(-9223372036854775807 - 1)" if i == 63 else f"{2 ** i}::BIGINT"
     votes = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(32)
+        f"sum(CASE WHEN {bit(i)} THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
     )
-    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END)" for i in range(32))
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {weight(i)} ELSE 0 END)" for i in range(bits))
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
@@ -700,6 +731,16 @@ SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
     sig_body = _simhash_sql().strip()
     out["q_simhash_pairs"] = f"""
 WITH sigs AS ({sig_body})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    out["q_simhash64"] = _simhash_sql(bits=64)
+    sig64_body = _simhash_sql(bits=64).strip()
+    out["q_simhash64_pairs"] = f"""
+WITH sigs AS ({sig64_body})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

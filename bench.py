@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_jaccard_pairs",
     "q_minhash_lsh_dedup",
     "q_simhash_pairs",
+    "q_simhash64_pairs",
     "q_ann_lsh_topk",
     "q_token_stats",
     "q_lang_id",

@@ -304,14 +304,36 @@ def minhash_lsh_dedup(
     return out
 
 
+def _md5_bits_col(col, bits: int):
+    """First ``bits`` of md5 as a (signed) long Column. The 64-bit form
+    assembles two 32-bit halves with shiftleft|OR — bitwise, so the value
+    2^63..2^64-1 range lands in the negative longs without ANSI overflow
+    (conv(16 hex)::long would error there)."""
+    if bits == 32:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if bits == 64:
+        hi = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"bits must be 32 or 64, got {bits}")
+
+
+def _sig_weight(i: int, bits: int) -> int:
+    """Weight of signature bit i in the signed long: 2^i, except the top
+    bit of a 64-bit signature which is -2^63 (two's complement)."""
+    return -(2 ** 63) if (bits == 64 and i == 63) else 2 ** i
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per-token md5-derived hash; signature bit i set iff
-    the majority of tokens have bit i set (Charikar '02)."""
+    """SimHash: per-token md5-derived hash; signature bit i set iff the
+    majority of tokens have bit i set (Charikar '02). ``bits``: 32 (the
+    toy/oracle size) or 64 — the scale size (Manku et al. WWW'07 use
+    64-bit signatures with 16-bit blocks; 32-bit banding saturates at 256
+    buckets/band, see :func:`simhash_near_pairs`)."""
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    tok = tok.withColumn("h", h)
+    tok = tok.withColumn("h", _md5_bits_col(F.col("tok"), bits))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -321,7 +343,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     agg = tok.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(_sig_weight(i, bits)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return agg.select("doc_id", sig.alias("simhash"))
 
 
@@ -330,14 +354,17 @@ def simhash_pandas(
 ) -> DataFrame:
     """Signatures identical to :func:`simhash`, one mapInPandas pass:
     per-doc token hashes → ±1 bit votes in numpy → signature. No explode,
-    no 32-column shuffle agg; same tokenizer contract as
-    :func:`_py_shingles` (ASCII ``\\s+``). Equality pinned in tests."""
+    no 32/64-column shuffle agg; same tokenizer contract as
+    :func:`_py_shingles` (ASCII ``\\s+``). Equality pinned in tests.
+    64-bit signatures land in the signed-long range via two's-complement
+    wrap, matching the Column form's shiftleft|OR assembly."""
     import hashlib
 
     import numpy as np
     import pandas as pd
     import re
 
+    hex_chars = bits // 4
     shifts = None
 
     def gen(batches):
@@ -351,13 +378,15 @@ def simhash_pandas(
                 if not toks:
                     continue
                 h = np.fromiter(
-                    (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks),
+                    (int(hashlib.md5(t.encode()).hexdigest()[:hex_chars], 16) for t in toks),
                     dtype=np.uint64,
                     count=len(toks),
                 )
                 bvals = (h[:, None] >> shifts[None, :]) & np.uint64(1)
                 votes = (2 * bvals.astype(np.int64) - 1).sum(axis=0)
                 sig = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                if sig >= 1 << 63:  # two's-complement wrap into signed long
+                    sig -= 1 << 64
                 ids.append(did)
                 sigs.append(sig)
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
@@ -378,7 +407,16 @@ def simhash_near_pairs(
     differing bits can dirty at most d blocks). With the defaults —
     4 blocks of 8 bits, max_hamming=3 — recall is therefore exact; raise
     ``n_blocks`` if you raise ``max_hamming``. Candidates sharing a block
-    are verified with the true bit_count distance."""
+    are verified with the true bit_count distance.
+
+    SCALE: use ``bits=64`` signatures (Manku et al.'s configuration —
+    4 x 16-bit blocks). 32-bit signatures cap each band at 2^8=256
+    distinct buckets, so at ≥10^8 docs every bucket holds ≥400k rows and
+    the per-bucket self-join goes quadratic; 16-bit blocks give 65,536
+    buckets/band and bucket cardinality keeps growing with the corpus
+    (tests/test_dedup_ops.py pins this). Arithmetic shiftright's sign
+    extension on negative 64-bit signatures is removed by the block
+    mask."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"banding needs n_blocks > max_hamming for exact recall "

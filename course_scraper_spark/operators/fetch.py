@@ -1,0 +1,254 @@
+"""Live HTTP fetch: the reference's retry/backoff/render ladder as a
+distributed mapInPandas operator (``fetch='http'`` in the crawl loops).
+
+Reproduces ``/root/reference/src/render_utils.py:43-102`` semantics —
+static GET with a UA header, up to 5 retries with an exponential 1→16 s
+backoff plus jitter on retryable statuses, then a dynamic-render
+(Playwright-style) fallback for 403/404/429 — but as a *per-partition*
+ladder over the wave DataFrame instead of an asyncio loop:
+
+* the transport is created ONCE per partition (``transport_factory()``
+  inside ``mapInPandas`` before the batch loop) — the distributed twin of
+  the reference's shared httpx session;
+* retry sleeps go through an injectable ``sleep_fn`` (real deployments
+  keep ``time.sleep``; tests/bench inject a no-op since the synthetic
+  transport's outcomes are deterministic);
+* jitter is derived from ``crc32(url|attempt)`` — deterministic, so the
+  schedule (and any test asserting on it) is reproducible, unlike the
+  reference's ``random()``;
+* hard 404s skip the retry loop and go straight to the render branch
+  (retrying a 404 never helps); 403/429 retry first (they are often
+  rate-limits), 5xx and connection errors retry but have no render
+  branch.
+
+Exactness contract: for a transport serving the synthetic world
+(``world_transport_factory``), the ladder's success set, html bytes and
+attempt counts are byte-identical to the fetch-join path — ``ok`` here
+equals ``frontier.fetch_ok_col()`` over the pages table, and
+``n_attempts`` equals :func:`attempts_col` (the Column mirror used for
+join-path metrics). Pinned by tests/test_fetch_http.py.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_RETRIES = 5          # render_utils.py ladder: 1 try + 5 retries
+BASE_BACKOFF_S = 1.0     # 1 -> 2 -> 4 -> 8 -> 16 s doubling
+USER_AGENT = "course-scraper-spark/0.3 (+crawl; respectful)"
+
+RETRYABLE = frozenset({403, 429})        # rate-limit-ish: retry, then render
+RENDER_FALLBACK = frozenset({403, 404, 429})  # statuses with a render branch
+
+
+@dataclass
+class FetchResponse:
+    status: int | None   # None = connection error / unknown host
+    html: str | None
+    mode: str | None     # 'static' | 'dynamic' | None
+
+
+class SyntheticTransport:
+    """Transport serving the synthetic world from a Spark broadcast dict.
+
+    The test/bench twin of a real HTTP transport: resolves a URL to the
+    deterministic ``(status_code, fetch_mode, html)`` the pages table
+    holds. ``render`` succeeds only for dynamic-renderable pages — the
+    static error pages have no JS payload, exactly the
+    ``synth/world.fetch_ok`` model."""
+
+    def __init__(self, bcast):
+        self._pages = bcast
+
+    def get(self, url: str, headers: dict | None = None) -> FetchResponse:
+        row = self._pages.value.get(url)
+        if row is None:
+            return FetchResponse(None, None, None)  # connection error
+        status, mode, html = row
+        return FetchResponse(status, html if status < 400 else None, mode)
+
+    def render(self, url: str) -> FetchResponse:
+        row = self._pages.value.get(url)
+        if row is None:
+            return FetchResponse(None, None, None)
+        status, mode, html = row
+        if mode == "dynamic":
+            return FetchResponse(200, html, "dynamic")
+        return FetchResponse(status, None, mode)
+
+
+class HttpTransport:
+    """Real-network transport (httpx session + optional renderer).
+
+    Not exercisable in this sandbox (no network, httpx not installed) —
+    the import is deferred so the module stays loadable; inject a
+    Playwright-backed ``render_fn`` on a cluster that has one."""
+
+    def __init__(self, timeout_s: float = 30.0, render_fn: Callable | None = None):
+        import httpx  # deferred: not present in the sandbox
+
+        self._client = httpx.Client(
+            timeout=timeout_s, headers={"User-Agent": USER_AGENT}, follow_redirects=True
+        )
+        self._render_fn = render_fn
+
+    def get(self, url: str, headers: dict | None = None) -> FetchResponse:
+        try:
+            r = self._client.get(url, headers=headers or {})
+            return FetchResponse(r.status_code, r.text if r.status_code < 400 else None, "static")
+        except Exception:
+            return FetchResponse(None, None, None)
+
+    def render(self, url: str) -> FetchResponse:
+        if self._render_fn is None:
+            return FetchResponse(None, None, None)
+        try:
+            html = self._render_fn(url)
+            return FetchResponse(200, html, "dynamic") if html else FetchResponse(None, None, None)
+        except Exception:
+            return FetchResponse(None, None, None)
+
+
+def world_transport_factory(pages: DataFrame) -> Callable[[], SyntheticTransport]:
+    """Broadcast the synthetic pages once; each partition builds a
+    :class:`SyntheticTransport` over the shared broadcast blob."""
+    rows = pages.select("url", "status_code", "fetch_mode", "html").collect()
+    data = {r.url: (int(r.status_code), r.fetch_mode, r.html) for r in rows}
+    bcast = pages.sparkSession.sparkContext.broadcast(data)
+    return lambda: SyntheticTransport(bcast)
+
+
+def _jitter(url: str, attempt: int) -> float:
+    """Deterministic stand-in for the reference's random() jitter: [0, 1)s
+    from crc32(url|attempt)."""
+    return (zlib.crc32(f"{url}|{attempt}".encode()) % 1000) / 1000.0
+
+
+def run_ladder(
+    transport,
+    url: str,
+    sleep_fn: Callable[[float], None] | None = None,
+    max_retries: int = MAX_RETRIES,
+    base_backoff_s: float = BASE_BACKOFF_S,
+) -> tuple[bool, int | None, str | None, str | None, int]:
+    """(ok, status_code, fetch_mode, html, n_attempts) for one URL.
+
+    The render_utils.py ladder, per URL: GET; success below 400; 404 goes
+    straight to render; 403/429/5xx/connection errors retry with
+    exponential backoff + jitter; after retries, 403/404/429 try the
+    dynamic-render branch. ``sleep_fn=None`` skips the waits (synthetic
+    transports are deterministic — retrying later changes nothing)."""
+    sleep = sleep_fn or (lambda s: None)
+    attempts = 0
+    r = FetchResponse(None, None, None)
+    for i in range(max_retries + 1):
+        attempts += 1
+        r = transport.get(url, headers={"User-Agent": USER_AGENT})
+        if r.status is not None and r.status < 400:
+            return True, r.status, r.mode, r.html, attempts
+        if r.status == 404:
+            break  # hard 404: no retry, straight to the render branch
+        if i < max_retries:
+            sleep(base_backoff_s * (2 ** i) + _jitter(url, i))
+    if r.status in RENDER_FALLBACK:
+        attempts += 1
+        rr = transport.render(url)
+        if rr.status is not None and rr.status < 400 and rr.html is not None:
+            return True, rr.status, "dynamic", rr.html, attempts
+    return False, r.status, r.mode, None, attempts
+
+
+_FETCH_FIELDS = [
+    T.StructField("status_code", T.IntegerType(), True),
+    T.StructField("fetch_mode", T.StringType(), True),
+    T.StructField("html", T.StringType(), True),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("n_attempts", T.IntegerType(), False),
+]
+
+
+def fetch_http(
+    wave: DataFrame,
+    transport_factory: Callable[[], object],
+    url_col: str = "url",
+    sleep_fn: Callable[[float], None] | None = None,
+    max_retries: int = MAX_RETRIES,
+    base_backoff_s: float = BASE_BACKOFF_S,
+) -> DataFrame:
+    """Fetch every wave row over HTTP; appends (status_code, fetch_mode,
+    html, ok, n_attempts) to the wave's columns.
+
+    Partitioning IS the fetch parallelism: the wave arrives pre-spread
+    (salted_repartition upstream for Zipf mega-hosts), each task opens
+    one transport (session reuse) and runs the ladder row by row. Failed
+    rows come back with ``ok=false`` and null html — the caller keeps
+    them in seen (dead-fetch path) exactly like the join path."""
+    out_schema = T.StructType(list(wave.schema.fields) + _FETCH_FIELDS)
+    in_cols = list(wave.columns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()  # once per partition: session reuse
+        for pdf in batches:
+            res = [
+                run_ladder(transport, u, sleep_fn, max_retries, base_backoff_s)
+                for u in pdf[url_col]
+            ]
+            out = pdf[in_cols].copy()
+            out["status_code"] = pd.array([s for _, s, _, _, _ in res], dtype="Int32")
+            out["fetch_mode"] = [m for _, _, m, _, _ in res]
+            out["html"] = [h for _, _, _, h, _ in res]
+            out["ok"] = [o for o, _, _, _, _ in res]
+            out["n_attempts"] = pd.array([a for _, _, _, _, a in res], dtype="Int32")
+            yield out
+
+    return wave.mapInPandas(run, out_schema)
+
+
+def http_root_probe(spark, root_urls: list[str], transport_factory) -> DataFrame:
+    """Distributed root fetch for ``fetch='http'`` mode: one single GET
+    per root (the reference's root fetch has NO retry/fallback ladder and
+    aborts the source on any HTTP error — crawler.py:180), collecting
+    only (url, status_code, is_mc) booleans, mirroring
+    ``frontier._root_probe``'s projection discipline. Connection errors
+    surface as status 599 (≥400 ⇒ failed source)."""
+    df = spark.createDataFrame([(u,) for u in root_urls], "url string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        for pdf in batches:
+            out = {"url": [], "status_code": [], "is_mc": []}
+            for u in pdf["url"]:
+                r = transport.get(u, headers={"User-Agent": USER_AGENT})
+                out["url"].append(u)
+                out["status_code"].append(599 if r.status is None else int(r.status))
+                out["is_mc"].append(bool(r.html and "Modern Campus Catalog" in r.html))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, "url string, status_code int, is_mc boolean")
+
+
+def attempts_col(max_retries: int = MAX_RETRIES) -> F.Column:
+    """Column mirror of :func:`run_ladder`'s attempt count, computable
+    from (status_code, fetch_mode) — used by the join-path metrics so
+    both fetch modes report identical per-host attempt totals.
+
+    200s: 1. 404: 2 (GET + render). 403/429: retries exhausted + render =
+    max_retries+2. 5xx / connection error (null status): max_retries+1,
+    no render branch."""
+    s = F.col("status_code")
+    return (
+        F.when(s.isNull(), F.lit(max_retries + 1))
+        .when(s < 400, F.lit(1))
+        .when(s == 404, F.lit(2))
+        .when(s.isin(*sorted(RETRYABLE)), F.lit(max_retries + 2))
+        .otherwise(F.lit(max_retries + 1))
+        .cast("int")
+    )

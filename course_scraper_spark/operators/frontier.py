@@ -172,18 +172,9 @@ def _root_probe(pages: DataFrame, root_urls: list[str]) -> DataFrame:
     )
 
 
-def resolve_sources(
-    spark: SparkSession, sources: list[SourceConfig], pages: DataFrame
+def _build_runtimes(
+    sources: list[SourceConfig], by_url: dict
 ) -> tuple[list[SourceRuntime], list[str]]:
-    """Root fetch + Modern-Campus detection (crawler.py:179-184).
-
-    The reference's root fetch has no retry/fallback and aborts the
-    source on any HTTP error (``raise_for_status``, crawler.py:180).
-    One tiny job: semi-join pages to the root URL list, collecting only
-    (url, status_code, is_mc) — see :func:`_root_probe`.
-    """
-    roots = {s.root_url: s for s in sources}
-    by_url = {r.url: r for r in _root_probe(pages, list(roots)).collect()}
     runtimes, failed = [], []
     for s in sources:
         r = by_url.get(s.root_url)
@@ -200,6 +191,34 @@ def resolve_sources(
             )
         )
     return runtimes, failed
+
+
+def resolve_sources(
+    spark: SparkSession, sources: list[SourceConfig], pages: DataFrame
+) -> tuple[list[SourceRuntime], list[str]]:
+    """Root fetch + Modern-Campus detection (crawler.py:179-184).
+
+    The reference's root fetch has no retry/fallback and aborts the
+    source on any HTTP error (``raise_for_status``, crawler.py:180).
+    One tiny job: semi-join pages to the root URL list, collecting only
+    (url, status_code, is_mc) — see :func:`_root_probe`.
+    """
+    roots = {s.root_url: s for s in sources}
+    by_url = {r.url: r for r in _root_probe(pages, list(roots)).collect()}
+    return _build_runtimes(sources, by_url)
+
+
+def resolve_sources_transport(
+    spark: SparkSession, sources: list[SourceConfig], transport_factory
+) -> tuple[list[SourceRuntime], list[str]]:
+    """Root fetch over a live transport (the ``fetch='http'`` twin of
+    :func:`resolve_sources`): distributed single-GET probe, boolean-only
+    collect — same crawler.py:179-184 semantics."""
+    from .fetch import http_root_probe
+
+    roots = list({s.root_url for s in sources})
+    by_url = {r.url: r for r in http_root_probe(spark, roots, transport_factory).collect()}
+    return _build_runtimes(sources, by_url)
 
 
 def _dim_df(spark: SparkSession, runtimes: list[SourceRuntime]) -> DataFrame:
@@ -278,8 +297,20 @@ def crawl_sources(
     run_id: str = "run",
     salt_hosts_threshold: int | None = None,
     broadcast_wave_threshold: int = BROADCAST_WAVE_THRESHOLD,
+    fetch: str = "join",
+    transport_factory=None,
+    fetch_kwargs: dict | None = None,
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
+
+    ``fetch='http'`` swaps the synthetic lookup join for the live
+    mapInPandas HTTP ladder (operators/fetch.py) driven by
+    ``transport_factory`` — the deployment path; ``fetch='join'`` (the
+    default) resolves against the ``pages`` table. Both produce identical
+    fetched sets for a transport serving the same world
+    (tests/test_fetch_http.py). ``fetch_kwargs`` passes through to
+    :func:`~course_scraper_spark.operators.fetch.fetch_http`
+    (e.g. ``{'sleep_fn': None}``).
 
     With ``state_store`` (a :class:`~course_scraper_spark.storage.crawl_state
     .CrawlStateStore`) every wave commits its seen-set delta as a tagged
@@ -294,7 +325,10 @@ def crawl_sources(
     anti-join. Identical results (the filters have no false negatives;
     positives hit the exact join), fewer anti-join probes.
     """
-    runtimes, failed = resolve_sources(spark, sources, pages)
+    if fetch == "http":
+        runtimes, failed = resolve_sources_transport(spark, sources, transport_factory)
+    else:
+        runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
     if not runtimes:
         return result
@@ -365,7 +399,7 @@ def crawl_sources(
         # dead-fetch path). On a live cluster this join is replaced by
         # the HTTP fetch inside the UDF, so no join exists at all; the
         # broadcast is a synthetic-harness artifact, not the scale design.
-        if metrics_store is not None:
+        if metrics_store is not None and fetch != "http":
             # per-host-bucket lineage (north rule): fetched/failed per
             # host per wave, including URLs with no page row at all
             from .metrics import fetch_stats_per_host
@@ -379,18 +413,28 @@ def crawl_sources(
 
         wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
         if salt_hosts_threshold is not None:
-            # live-cluster fetch runs INSIDE the UDF over the wave's own
+            # the fetch runs INSIDE the UDF over the wave's own
             # partitioning — spread Zipf mega-hosts before that stage
             from .salting import salted_repartition
 
             wave_slim = salted_repartition(
                 wave_slim, "host", threshold=salt_hosts_threshold, salt_col="url"
             )
-        wave_slim = wave_slim.drop("host")
-        fetched = (
-            _fetch_join(wave_slim, pages_slim, wave_rows, broadcast_wave_threshold)
-            .filter(fetch_ok_col())
-            .select(
+        fetched_raw = None
+        if fetch == "http":
+            # live path: the HTTP ladder runs inside the UDF over the
+            # wave's partitioning — no join with a pages table exists
+            from .fetch import fetch_http
+
+            fetched_raw = fetch_http(wave_slim, transport_factory, **(fetch_kwargs or {}))
+            if metrics_store is not None:
+                from .metrics import fetch_stats_from_http
+
+                # the raw fetch feeds both the stats agg and the link
+                # extraction — persist so the ladder runs once per URL
+                fetched_raw = fetched_raw.persist()
+                metrics_store.record_wave(run_id, depth, fetch_stats_from_http(fetched_raw))
+            fetched = fetched_raw.filter(F.col("ok")).select(
                 "source_id",
                 F.col("url").alias("page_url"),
                 F.col("seq").alias("parent_seq"),
@@ -398,10 +442,25 @@ def crawl_sources(
                 "html",
                 "is_mc",
             )
-        )
-        # In broadcast mode the scan partitioning of pages carries to the
-        # UDF stage — page html never shuffles; above the threshold the
-        # join shuffles both sides on url hash (uniform, skew-free).
+        else:
+            fetched = (
+                _fetch_join(
+                    wave_slim.drop("host"), pages_slim, wave_rows, broadcast_wave_threshold
+                )
+                .filter(fetch_ok_col())
+                .select(
+                    "source_id",
+                    F.col("url").alias("page_url"),
+                    F.col("seq").alias("parent_seq"),
+                    "depth",
+                    "html",
+                    "is_mc",
+                )
+            )
+            # In broadcast mode the scan partitioning of pages carries to
+            # the UDF stage — page html never shuffles; above the
+            # threshold the join shuffles both sides on url hash
+            # (uniform, skew-free).
 
         links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
 
@@ -540,6 +599,8 @@ def crawl_sources(
                 "source_id", "url", "host", "depth", "seq"
             )
         cand.unpersist()
+        if fetched_raw is not None and fetched_raw.is_cached:
+            fetched_raw.unpersist()
         result.metrics.append(WaveMetrics(depth=next_depth, wave_size=n_new, new_urls=n_new))
         depth = next_depth
         wave_rows = n_new
@@ -572,6 +633,9 @@ def crawl_sources_budgeted(
     resume: bool = False,
     metrics_store=None,
     run_id: str = "run",
+    fetch: str = "join",
+    transport_factory=None,
+    fetch_kwargs: dict | None = None,
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -600,9 +664,13 @@ def crawl_sources_budgeted(
     frontier rows across salt shards before the fetch stage
     (operators/salting.py). ``obey_disallow``: apply robots Disallow
     prefixes to the frontier (operators/robots.py; default off — the
-    reference reads only crawl_delay).
+    reference reads only crawl_delay). ``fetch='http'`` routes fetches
+    through the live mapInPandas ladder (see :func:`crawl_sources`).
     """
-    runtimes, failed = resolve_sources(spark, sources, pages)
+    if fetch == "http":
+        runtimes, failed = resolve_sources_transport(spark, sources, transport_factory)
+    else:
+        runtimes, failed = resolve_sources(spark, sources, pages)
     result = CrawlResult(seen=spark.createDataFrame([], SEEN_SCHEMA), failed_sources=failed)
     if not runtimes:
         return result
@@ -660,7 +728,7 @@ def crawl_sources_budgeted(
             break
         deferred = deferred.localCheckpoint(eager=True)
 
-        if metrics_store is not None:
+        if metrics_store is not None and fetch != "http":
             # per-host-bucket lineage (north rule), same shape as the BFS
             # loop: fetched/failed per host per round
             from .metrics import fetch_stats_per_host
@@ -675,11 +743,18 @@ def crawl_sources_budgeted(
         expandable = now.join(dim, "source_id").filter(
             F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
         )
-        wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
-        fetched = (
-            _fetch_join(wave_slim, pages_slim, n_now, broadcast_wave_threshold)
-            .filter(fetch_ok_col())
-            .select(
+        fetched_raw = None
+        if fetch == "http":
+            from .fetch import fetch_http
+
+            wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
+            fetched_raw = fetch_http(wave_slim, transport_factory, **(fetch_kwargs or {}))
+            if metrics_store is not None:
+                from .metrics import fetch_stats_from_http
+
+                fetched_raw = fetched_raw.persist()
+                metrics_store.record_wave(run_id, rounds, fetch_stats_from_http(fetched_raw))
+            fetched = fetched_raw.filter(F.col("ok")).select(
                 "source_id",
                 F.col("url").alias("page_url"),
                 F.col("seq").alias("parent_seq"),
@@ -687,7 +762,20 @@ def crawl_sources_budgeted(
                 "html",
                 "is_mc",
             )
-        )
+        else:
+            wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
+            fetched = (
+                _fetch_join(wave_slim, pages_slim, n_now, broadcast_wave_threshold)
+                .filter(fetch_ok_col())
+                .select(
+                    "source_id",
+                    F.col("url").alias("page_url"),
+                    F.col("seq").alias("parent_seq"),
+                    "depth",
+                    "html",
+                    "is_mc",
+                )
+            )
         links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
         cand = (
             links.withColumn("href2", U.strip_fragment(F.col("href")))
@@ -798,6 +886,8 @@ def crawl_sources_budgeted(
         if state_store is not None:
             state_store.save_round(rounds, delta, pending, seq_base)
         cand.unpersist()
+        if fetched_raw is not None and fetched_raw.is_cached:
+            fetched_raw.unpersist()
         result.metrics.append(WaveMetrics(depth=rounds, wave_size=n_new, new_urls=n_new))
         if n_new == 0 and deferred.isEmpty():
             break

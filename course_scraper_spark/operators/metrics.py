@@ -44,13 +44,29 @@ class MetricsStore:
 
 
 def fetch_stats_per_host(wave_with_pages: DataFrame) -> DataFrame:
-    """(source_id, host, n_urls, n_fetch_ok, n_failed) for one wave's
-    fetch join (wave rows left-joined to pages)."""
+    """(source_id, host, n_urls, n_fetch_ok, n_failed, n_attempts) for
+    one wave's fetch join (wave rows left-joined to pages). Attempts come
+    from the deterministic Column mirror of the HTTP ladder, so both
+    fetch modes report identical totals."""
+    from .fetch import attempts_col
+
     ok = fetch_ok_col()
     return wave_with_pages.groupBy("source_id", "host").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.sum(F.when(ok, 1).otherwise(0)).alias("n_fetch_ok"),
         F.sum(F.when(ok, 0).otherwise(1)).alias("n_failed"),
+        F.sum(attempts_col().cast("long")).alias("n_attempts"),
+    )
+
+
+def fetch_stats_from_http(fetched: DataFrame) -> DataFrame:
+    """Same shape as :func:`fetch_stats_per_host`, from the ``fetch_http``
+    output (which carries real ``ok``/``n_attempts`` per row)."""
+    return fetched.groupBy("source_id", "host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_fetch_ok"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_failed"),
+        F.sum(F.col("n_attempts").cast("long")).alias("n_attempts"),
     )
 
 

@@ -160,3 +160,65 @@ def test_jaccard_hot_shingle_cap(spark):
     }
     assert (1, 2) in pairs          # rare shingles (df=2) survive the cap
     assert not any(3 in p for p in pairs)  # boilerplate (df=3) capped away
+
+
+# -- 64-bit simhash (the scale configuration) ---------------------------------
+
+
+def test_simhash64_pandas_equals_column_form(docs):
+    col = {r.doc_id: r.simhash for r in D.simhash(docs, bits=64).collect()}
+    pdv = {r.doc_id: r.simhash for r in D.simhash_pandas(docs, bits=64).collect()}
+    assert col == pdv
+    # signatures live in the signed-long range and use >32 bits
+    assert all(-(1 << 63) <= v < (1 << 63) for v in col.values())
+    assert any(abs(v) >= (1 << 32) for v in col.values())
+
+
+def test_simhash64_banding_exact_and_adversarial(spark):
+    """Pigeonhole exactness holds at 64 bits / 4x16-bit blocks, including
+    signatures whose top bit is set (negative longs)."""
+    base = (0b1011 << 60) | 0x123456789ABCDEF  # unsigned workspace
+    usigs = [(0, base)]
+    usigs.append((1, base ^ (1 << 3) ^ (1 << 40)))               # d=2, blocks 0+2
+    usigs.append((2, base ^ (1 << 17) ^ (1 << 63)))              # d=2, blocks 1+3 (sign flip)
+    usigs.append((3, base ^ (1 << 1) ^ (1 << 20) ^ (1 << 50)))   # d=3, blocks 0+1+3
+    usigs.append((4, base ^ 0xFFFFFF))                           # far away
+    sigs = [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in usigs]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(
+        df, max_hamming=3, n_blocks=4, bits=64).collect()}
+    rows = dict(sigs)
+    brute = {
+        (a, b): bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+        for a in rows for b in rows
+        if a < b and bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == brute
+    assert (0, 2) in got  # the sign-flip pair survives banding
+
+
+def test_simhash64_bucket_cardinality_not_capped(spark):
+    """The reason 64-bit exists: 32-bit banding caps each band at 256
+    buckets; 16-bit blocks keep growing with the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s32 = D.simhash_pandas(docs, bits=32)
+    s64 = D.simhash_pandas(docs, bits=64)
+
+    def buckets(sig_df, bits, n_blocks=4):
+        bb = bits // n_blocks
+        mask = (1 << bb) - 1
+        parts = [
+            sig_df.select(F.shiftright(F.col("simhash"), i * bb).bitwiseAND(F.lit(mask)).alias("blk"),
+                          F.lit(i).alias("band"))
+            for i in range(n_blocks)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("band").agg(F.countDistinct("blk").alias("n")).collect()
+
+    per_band32 = {r.band: r.n for r in buckets(s32, 32)}
+    per_band64 = {r.band: r.n for r in buckets(s64, 64)}
+    assert all(n <= 256 for n in per_band32.values())  # the 32-bit ceiling
+    assert any(n > 256 for n in per_band64.values())   # lifted at 64-bit
+    assert sum(per_band64.values()) > sum(per_band32.values())

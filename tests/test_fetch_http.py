@@ -1,0 +1,187 @@
+"""The live HTTP fetch operator: ladder semantics (retry/backoff/render
+fallback, reference render_utils.py:43-102), and end-to-end equality of
+fetch='http' vs the fetch-join path over the same synthetic world."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from course_scraper_spark.operators import fetch as FX
+from course_scraper_spark.operators.fetch import FetchResponse, run_ladder
+
+
+class ScriptedTransport:
+    def __init__(self, status, mode, html="<html><a href='/x'>x</a></html>"):
+        self.status, self.mode, self.html = status, mode, html
+        self.get_calls = 0
+        self.render_calls = 0
+
+    def get(self, url, headers=None):
+        self.get_calls += 1
+        assert headers and "User-Agent" in headers  # UA always sent
+        if self.status is None:
+            return FetchResponse(None, None, None)
+        return FetchResponse(self.status, self.html if self.status < 400 else None, self.mode)
+
+    def render(self, url):
+        self.render_calls += 1
+        if self.mode == "dynamic":
+            return FetchResponse(200, self.html, "dynamic")
+        return FetchResponse(self.status, None, self.mode)
+
+
+# -- ladder unit semantics ----------------------------------------------------
+
+
+def test_ladder_success_first_try():
+    t = ScriptedTransport(200, "static")
+    ok, status, mode, html, attempts = run_ladder(t, "https://a.edu/")
+    assert (ok, status, attempts) == (True, 200, 1)
+    assert html == t.html and t.render_calls == 0
+
+
+def test_ladder_403_retries_then_render_fallback():
+    t = ScriptedTransport(403, "dynamic")
+    sleeps = []
+    ok, status, mode, html, attempts = run_ladder(t, "https://a.edu/p", sleep_fn=sleeps.append)
+    assert ok and status == 200 and mode == "dynamic" and html == t.html
+    assert t.get_calls == 6 and t.render_calls == 1 and attempts == 7
+    # exponential 1->16s backoff with deterministic [0,1) jitter
+    assert len(sleeps) == 5
+    for i, s in enumerate(sleeps):
+        assert 2 ** i <= s < 2 ** i + 1.0
+
+
+def test_ladder_404_skips_retries_renders_immediately():
+    t = ScriptedTransport(404, "dynamic")
+    sleeps = []
+    ok, status, _, html, attempts = run_ladder(t, "https://a.edu/q", sleep_fn=sleeps.append)
+    assert ok and status == 200 and attempts == 2 and not sleeps
+    assert t.get_calls == 1 and t.render_calls == 1
+
+
+def test_ladder_429_static_fails_after_render_attempt():
+    t = ScriptedTransport(429, "static")
+    ok, status, mode, html, attempts = run_ladder(t, "https://a.edu/r")
+    assert not ok and status == 429 and html is None and attempts == 7
+    assert t.render_calls == 1  # fallback tried, no JS payload -> fail
+
+
+def test_ladder_5xx_and_connection_error_no_render_branch():
+    t = ScriptedTransport(503, "static")
+    ok, status, _, _, attempts = run_ladder(t, "https://a.edu/s")
+    assert not ok and status == 503 and attempts == 6 and t.render_calls == 0
+    t2 = ScriptedTransport(None, None)
+    ok2, status2, _, _, attempts2 = run_ladder(t2, "https://nope.example/")
+    assert not ok2 and status2 is None and attempts2 == 6 and t2.render_calls == 0
+
+
+# -- attempt-count Column mirror ----------------------------------------------
+
+
+def test_attempts_col_matches_ladder(spark, pages):
+    """The join path's attempts_col must equal the real ladder's counts
+    for every page in the world."""
+    factory = FX.world_transport_factory(pages)
+    fetched = FX.fetch_http(pages.select("url"), factory, sleep_fn=None)
+    got = {r.url: r.n_attempts for r in fetched.collect()}
+    mirrored = {
+        r.url: r.a
+        for r in pages.select("url", FX.attempts_col().alias("a")).collect()
+    }
+    assert got == mirrored
+    # and ok mirrors fetch_ok_col
+    from course_scraper_spark.operators.frontier import fetch_ok_col
+
+    ok_http = {r.url: r.ok for r in fetched.collect()}
+    ok_join = {r.url: r.ok for r in pages.select("url", fetch_ok_col().alias("ok")).collect()}
+    assert ok_http == ok_join
+
+
+# -- end-to-end equality: http path == join path ------------------------------
+
+
+def canon(df):
+    return sorted(
+        (r.source_id, r.url, r.depth, r.seq, r.visited)
+        for r in df.select("source_id", "url", "depth", "seq", "visited").collect()
+    )
+
+
+def test_crawl_http_equals_join(spark, sources, pages):
+    from course_scraper_spark.operators.frontier import crawl_sources
+
+    base = crawl_sources(spark, sources, pages)
+    http = crawl_sources(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=FX.world_transport_factory(pages),
+        fetch_kwargs={"sleep_fn": None},
+    )
+    assert canon(http.seen) == canon(base.seen)
+    assert http.failed_sources == base.failed_sources
+
+
+def test_budgeted_crawl_http_equals_join(spark, sources, pages):
+    from course_scraper_spark.operators.frontier import crawl_sources_budgeted
+
+    kw = dict(round_budget_s=7.0, max_rounds=40)
+    base = crawl_sources_budgeted(spark, sources, pages, **kw)
+    http = crawl_sources_budgeted(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=FX.world_transport_factory(pages),
+        fetch_kwargs={"sleep_fn": None},
+        **kw,
+    )
+    assert sorted((r.source_id, r.url) for r in http.seen.collect()) == sorted(
+        (r.source_id, r.url) for r in base.seen.collect()
+    )
+
+
+def test_http_metrics_record_attempts(spark, sources, pages, tmp_path):
+    from course_scraper_spark.operators.frontier import crawl_sources
+    from course_scraper_spark.operators.metrics import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "metrics"))
+    crawl_sources(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=FX.world_transport_factory(pages),
+        fetch_kwargs={"sleep_fn": None},
+        metrics_store=store,
+        run_id="http-run",
+    )
+    pm = store.partition_metrics.read()
+    assert "n_attempts" in pm.columns
+    row = pm.agg(
+        F.sum("n_urls").alias("u"), F.sum("n_attempts").alias("a"), F.sum("n_fetch_ok").alias("ok")
+    ).first()
+    assert row.u > 0 and row.ok > 0
+    assert row.a >= row.u  # every URL costs >= 1 attempt; failures cost more
+
+
+def test_http_root_probe_failed_sources(spark, sources, pages):
+    """A root the transport can't resolve aborts its source, like the
+    reference's raise_for_status on the root fetch."""
+    from course_scraper_spark.config import SourceConfig
+    from course_scraper_spark.operators.frontier import resolve_sources_transport
+
+    bad = SourceConfig(
+        source_id="LOCAL_bad",
+        name="bad",
+        root_url="https://missing.example.edu/catalog/",
+        schema_url="https://missing.example.edu/catalog/x.html",
+        crawl_depth=2,
+    )
+    runtimes, failed = resolve_sources_transport(
+        spark, list(sources) + [bad], FX.world_transport_factory(pages)
+    )
+    assert "LOCAL_bad" in failed
+    assert {rt.source.source_id for rt in runtimes} == {s.source_id for s in sources}
+    assert any(rt.is_mc for rt in runtimes)
