@@ -636,6 +636,7 @@ def crawl_sources_budgeted(
     fetch: str = "join",
     transport_factory=None,
     fetch_kwargs: dict | None = None,
+    readmit_min_depth: bool = True,
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -648,17 +649,19 @@ def crawl_sources_budgeted(
     parallel form of the reference's serial crawl-delay sleeps
     (crawler.py:150,168, render_utils.py:58).
 
-    The final seen SET equals the unbudgeted crawl exactly for
-    single-host sources (``include_external=False``, the reference's
-    shape — budgets delay fetches, never drop them;
-    tests/test_budgeted_crawl.py). With ``include_external=True`` AND
-    heterogeneous per-host crawl delays the invariant weakens: a URL
-    first discovered via a deeper parent on a fast host (while its
-    shallow parent waits behind a slow host) is assigned the deeper
-    depth, and if that equals max_depth its subtree is pruned — the
-    budgeted set can then be a subset of the BFS set near the depth
-    horizon. Visit ORDER always follows the schedule instead of strict
-    BFS FIFO, so equality paths use :func:`crawl_sources`.
+    The final seen SET equals the unbudgeted crawl exactly — budgets
+    delay fetches, never drop them (tests/test_budgeted_crawl.py). The
+    subtle case is ``include_external=True`` with heterogeneous per-host
+    crawl delays: a URL first discovered via a DEEPER parent on a fast
+    host (while its shallow parent waits behind a slow host) gets the
+    deeper depth, and its subtree would be pruned at the depth horizon.
+    ``readmit_min_depth`` (default on) closes that gap: when a seen URL
+    is rediscovered via a shallower parent, it re-enters the frontier at
+    the improved depth and its subtree is re-expanded — depths only
+    decrease, so the loop terminates, and by induction on BFS depth the
+    final set equals BFS (test_budgeted_readmission_multi_host). Visit
+    ORDER always follows the schedule instead of strict BFS FIFO, so
+    order-equality paths use :func:`crawl_sources`.
 
     ``salt_hosts_threshold``: spread hosts holding more than this many
     frontier rows across salt shards before the fetch stage
@@ -710,6 +713,12 @@ def crawl_sources_budgeted(
             state_store.save_round(0, seen, pending, seq_base)
 
     from .politeness import split_by_budget, with_schedule
+
+    # depth-improvement overlay for min-depth re-admission; in-memory
+    # only — after a resume it rebuilds from seen's first-discovery
+    # depths (an already-applied improvement may re-trigger one redundant
+    # refetch, never a wrong set)
+    improvements: DataFrame | None = None
 
     while rounds < (max_rounds if max_rounds is not None else 10_000):
         rounds += 1
@@ -875,6 +884,56 @@ def crawl_sources_budgeted(
         fetchable_new = new_rows.filter(
             F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
         ).select("source_id", "url", "host", "depth", "seq")
+
+        n_readmit = 0
+        readmit = None
+        if readmit_min_depth:
+            # min-depth re-admission: a seen URL rediscovered via a
+            # SHALLOWER parent re-enters the frontier at the improved
+            # depth (keeping its original seq/priority) so its subtree
+            # is re-expanded — restores BFS-set equality near the depth
+            # horizon under include_external + mixed delays. `known` =
+            # first-discovery depths (in seen) overlaid with prior
+            # improvements; a key's best depth strictly decreases, so
+            # re-admissions terminate. Seen itself is never rewritten —
+            # set membership is already correct, only expansion state
+            # improves.
+            known = seen.filter(F.col("visited") & F.col("depth").isNotNull()).select(
+                "source_id", "url", "depth"
+            )
+            if improvements is not None:
+                known = known.unionByName(improvements)
+            known_min = known.groupBy("source_id", "url").agg(
+                F.min("depth").alias("known_depth")
+            )
+            redisc = (
+                queue_cand.join(seen.select("source_id", "url"), ["source_id", "url"], "left_semi")
+                .groupBy("source_id", "url")
+                .agg(F.min(F.struct("depth", "max_depth", "is_mc")).alias("k"))
+                .select("source_id", "url", "k.depth", "k.max_depth", "k.is_mc")
+            )
+            improved = redisc.join(known_min, ["source_id", "url"]).filter(
+                F.col("depth") < F.col("known_depth")
+            )
+            readmit = (
+                improved.filter(F.col("is_mc") | (F.col("depth") < F.col("max_depth")))
+                .select("source_id", "url", "depth")
+                .join(
+                    seen.filter(F.col("visited")).select("source_id", "url", "host", "seq"),
+                    ["source_id", "url"],
+                )
+                .select("source_id", "url", "host", "depth", "seq")
+                .localCheckpoint(eager=True)
+            )
+            n_readmit = readmit.count()
+            if n_readmit:
+                imp_delta = improved.select("source_id", "url", "depth").localCheckpoint(
+                    eager=True
+                )
+                improvements = (
+                    imp_delta if improvements is None else improvements.unionByName(imp_delta)
+                )
+
         delta = (
             new_rows.select("source_id", "url", "host", "depth", "seq")
             .withColumn("visited", F.lit(True))
@@ -882,14 +941,17 @@ def crawl_sources_budgeted(
             .localCheckpoint(eager=True)
         )
         seen = seen.unionByName(delta)
-        pending = deferred.unionByName(fetchable_new).localCheckpoint(eager=True)
+        pending = deferred.unionByName(fetchable_new)
+        if readmit is not None and n_readmit:
+            pending = pending.unionByName(readmit)
+        pending = pending.localCheckpoint(eager=True)
         if state_store is not None:
             state_store.save_round(rounds, delta, pending, seq_base)
         cand.unpersist()
         if fetched_raw is not None and fetched_raw.is_cached:
             fetched_raw.unpersist()
         result.metrics.append(WaveMetrics(depth=rounds, wave_size=n_new, new_urls=n_new))
-        if n_new == 0 and deferred.isEmpty():
+        if n_new == 0 and n_readmit == 0 and deferred.isEmpty():
             break
 
     result.seen = seen

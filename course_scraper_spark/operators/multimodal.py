@@ -3,15 +3,19 @@
 Media in the crawl appear as span rows with ``kind='media'`` and a
 ``media_ref`` (the reference extracts them as attribute fields, e.g. img
 src — scraper schema 'attribute' type). A training pipeline needs the
-bytes themselves plus decode/feature stages. The *Spark-side plumbing*
-here is real and tested — schema, Arrow batch shape, partitioning,
-``mapInPandas`` signatures; the actual image/audio decoding is stubbed
-(no codec libraries in this container) behind ``decode_fn``:
+bytes themselves plus decode/feature stages. The Spark-side plumbing —
+schema, Arrow batch shape, partitioning, ``mapInPandas`` signatures — is
+real and tested, and so is one codec: ``decode_bmp``, a pure-Python/numpy
+decoder for uncompressed 24-bit BMP (the synthetic media table emits real
+BMP payloads). The ``decode_fn`` hook stays injectable:
 
-* default ``fake_decode`` is a deterministic stand-in producing stable
-  pseudo-features from the bytes (tests pin its output),
-* ``strict_decode`` raises NotImplementedError — swap in a real decoder
-  (PIL/torchaudio/ffmpeg) on a cluster with the libs installed.
+* default ``decode_bmp`` parses real bytes and dead-letters corrupt or
+  unsupported payloads,
+* ``fake_decode`` is the codec-free deterministic stand-in (md5-derived
+  pseudo-features),
+* ``strict_decode`` raises NotImplementedError — swap in a full decoder
+  (PIL/torchaudio/ffmpeg) on a cluster with the libs installed for
+  compressed formats.
 
 Batch sizing matters more than usual here: media blobs are MBs, so the
 media table repartitions by blob-size bins before the UDF to keep Arrow
@@ -22,6 +26,7 @@ cap alone is row-count-based, not byte-based).
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from typing import Callable, Iterator
 
@@ -53,11 +58,85 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER).
+    ``rgb``: uint8 array (height, width, 3), top-down RGB — stored
+    bottom-up BGR with 4-byte row padding, per the format."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    bgr = rgb[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    if pad:
+        padded = np.zeros((height, row_raw + pad), dtype=np.uint8)
+        padded[:, :row_raw] = bgr.reshape(height, row_raw)
+        data = padded.tobytes()
+    else:
+        data = bgr.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
+    """Pure-Python/numpy decoder for uncompressed 24-bit BMP → 8-dim
+    feature [w/256, h/256, mean R,G,B /255, gray std/128, gray min/255,
+    gray max/255]. Raises (→ dead-letter row) on bad magic, unsupported
+    bpp/compression, or truncated pixel data."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic/short header")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, width, height = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    if width <= 0 or height <= 0 or len(payload) < offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
+        .reshape(height, stride)[:, :row_raw]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        arr = arr[::-1]
+    bgr = arr.astype(np.float32)
+    b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return np.array(
+        [
+            width / 256.0,
+            height / 256.0,
+            float(r.mean()) / 255.0,
+            float(g.mean()) / 255.0,
+            float(b.mean()) / 255.0,
+            float(gray.std()) / 128.0,
+            float(gray.min()) / 255.0,
+            float(gray.max()) / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _synth_bmp(ref: str) -> tuple[bytes, int, int]:
+    """Deterministic small real BMP from a media_ref: dims and pixels are
+    pure functions of crc32(ref)."""
+    c = zlib.crc32(ref.encode())
+    w = 16 + (c % 16)
+    h = 16 + ((c >> 4) % 16)
+    px = ((c + 7 * np.arange(w * h * 3)) % 251).astype(np.uint8).reshape(h, w, 3)
+    return encode_bmp(w, h, px), w, h
+
+
 def synth_media_table(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media rows from the docs table's media spans:
-    payload = zlib-compressed media_ref bytes (stable), metadata from a
-    crc of the ref. Exists so the plumbing has real binary columns to
-    move through shuffles and Arrow."""
+    """Deterministic media rows from the docs table's media spans:
+    payload = a real (tiny) uncompressed BMP derived from the ref, so the
+    decode stage exercises actual bytes; metadata matches the encoded
+    dims. Exists so the plumbing has real binary columns to move through
+    shuffles and Arrow."""
     media = (
         docs.select("doc_id", F.explode("spans").alias("sp"))
         .filter(F.col("sp.kind") == "media")
@@ -67,16 +146,15 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
-            payloads = [zlib.compress(r.encode()) for r in refs]
-            crcs = [zlib.crc32(r.encode()) for r in refs]
+            encoded = [_synth_bmp(r) for r in refs]
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
                     "doc_id": pdf["doc_id"].tolist(),
                     "media_type": ["image"] * len(refs),
-                    "payload": payloads,
-                    "width": [64 + (c % 16) * 32 for c in crcs],
-                    "height": [64 + ((c >> 4) % 16) * 32 for c in crcs],
+                    "payload": [e[0] for e in encoded],
+                    "width": [e[1] for e in encoded],
+                    "height": [e[2] for e in encoded],
                     "duration_s": [None] * len(refs),
                 }
             )
@@ -99,7 +177,7 @@ def strict_decode(payload: bytes, media_type: str) -> np.ndarray:
 
 def extract_features(
     media: DataFrame,
-    decode_fn: Callable[[bytes, str], np.ndarray] = fake_decode,
+    decode_fn: Callable[[bytes, str], np.ndarray] = decode_bmp,
     partitions: int | None = None,
 ) -> DataFrame:
     """Decode + featurize via mapInPandas; per-row failures become error

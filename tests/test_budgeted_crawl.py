@@ -60,3 +60,62 @@ def test_budgeted_resume_equals_uninterrupted(spark, sources, pages, robots, tmp
     got = sorted((r.source_id, r.url) for r in resumed.seen.select("source_id", "url").collect())
     assert got == want
     assert len(got) > n_partial  # the kill actually cut it short
+
+
+def _mixed_delay_world(spark):
+    """include_external + heterogeneous delays: URL x is reachable at
+    depth 2 via a slow host but gets discovered first at depth 3 (= the
+    horizon) via a fast chain — without min-depth re-admission its child
+    y is never seen."""
+    def page(links):
+        return "<html><body>" + "".join(f'<a href="{u}">l</a>' for u in links) + "</body></html>"
+
+    S, FA = "https://slow.edu", "https://fast.edu"
+    rows = [
+        (f"{S}/", "slow.edu", page([f"{S}/d.html", f"{S}/e.html", f"{S}/a.html", f"{FA}/b.html"]), 200, "static"),
+        (f"{S}/d.html", "slow.edu", page([]), 200, "static"),
+        (f"{S}/e.html", "slow.edu", page([]), 200, "static"),
+        (f"{S}/a.html", "slow.edu", page([f"{FA}/x.html"]), 200, "static"),
+        (f"{FA}/b.html", "fast.edu", page([f"{FA}/c.html"]), 200, "static"),
+        (f"{FA}/c.html", "fast.edu", page([f"{FA}/x.html"]), 200, "static"),
+        (f"{FA}/x.html", "fast.edu", page([f"{FA}/y.html"]), 200, "static"),
+        (f"{FA}/y.html", "fast.edu", page([]), 200, "static"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, host string, html string, status_code int, fetch_mode string"
+    )
+    robots = spark.createDataFrame(
+        [("slow.edu", 100.0), ("fast.edu", 1.0)], "host string, crawl_delay double"
+    )
+    from course_scraper_spark.config import SourceConfig
+
+    src = SourceConfig(
+        source_id="LOCAL_mixed", name="mixed", root_url=f"{S}/",
+        include_external=True, crawl_depth=3,
+    )
+    return src, pages, robots
+
+
+def test_budgeted_readmission_multi_host(spark):
+    """The one remaining reference-semantics divergence from rounds 1-2:
+    budgeted == BFS seen set even with include_external=True and mixed
+    per-host delays, via min-depth re-admission."""
+    src, pages, robots = _mixed_delay_world(spark)
+    bfs = crawl_sources(spark, [src], pages)
+    budgeted = crawl_sources_budgeted(
+        spark, [src], pages, robots=robots, round_budget_s=5.0
+    )
+    assert budgeted.seen_urls("LOCAL_mixed") == bfs.seen_urls("LOCAL_mixed")
+    assert "https://fast.edu/y.html" in bfs.seen_urls("LOCAL_mixed")
+
+
+def test_budgeted_divergence_without_readmission(spark):
+    """Negative control: with re-admission off, the fixture actually
+    loses the horizon subtree — proving the test exercises the gap."""
+    src, pages, robots = _mixed_delay_world(spark)
+    off = crawl_sources_budgeted(
+        spark, [src], pages, robots=robots, round_budget_s=5.0, readmit_min_depth=False
+    )
+    urls = off.seen_urls("LOCAL_mixed")
+    assert "https://fast.edu/x.html" in urls      # discovered (deep) ...
+    assert "https://fast.edu/y.html" not in urls  # ... but never expanded

@@ -37,7 +37,8 @@ def test_media_table_deterministic(docs_with_media):
     m1 = synth_media_table(docs_with_media)
     assert m1.count() == 40
     r = m1.filter(F.col("media_ref") == "img://h.edu/3.png").first()
-    assert r.media_type == "image" and r.payload is not None and r.width >= 64
+    assert r.media_type == "image" and r.payload is not None and r.width >= 16
+    assert bytes(r.payload[:2]) == b"BM"  # real BMP bytes, not a stub blob
 
 
 def test_feature_extraction_deterministic(docs_with_media):
@@ -61,3 +62,56 @@ def test_fake_decode_stability():
     a = fake_decode(b"payload-bytes", "image")
     b = fake_decode(b"payload-bytes", "image")
     assert list(a) == list(b) and len(a) == 8
+
+
+# -- real BMP codec (pure Python/numpy) ---------------------------------------
+
+
+def test_bmp_roundtrip_known_values():
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    w, h = 5, 3  # odd width exercises the 4-byte row padding
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # R
+    rgb[..., 1] = 100  # G
+    rgb[..., 2] = 50   # B
+    feat = decode_bmp(encode_bmp(w, h, rgb))
+    assert len(feat) == 8
+    assert abs(feat[0] - w / 256) < 1e-6 and abs(feat[1] - h / 256) < 1e-6
+    assert abs(feat[2] - 200 / 255) < 1e-6  # mean R
+    assert abs(feat[3] - 100 / 255) < 1e-6  # mean G
+    assert abs(feat[4] - 50 / 255) < 1e-6   # mean B
+    assert feat[5] < 1e-5                   # constant image -> ~zero std
+
+
+def test_default_decode_is_real_bmp(docs_with_media):
+    media = synth_media_table(docs_with_media)
+    out = extract_features(media).collect()  # default decode_fn=decode_bmp
+    assert len(out) == 40 and all(r.decode_ok for r in out)
+    # features reflect the encoded dims, which the metadata also carries
+    meta = {r.media_ref: (r.width, r.height) for r in media.collect()}
+    for r in out:
+        w, h = meta[r.media_ref]
+        assert abs(r.feature[0] - w / 256) < 1e-5
+        assert abs(r.feature[1] - h / 256) < 1e-5
+
+
+def test_corrupt_bmp_dead_letters(spark):
+    import pandas as pd
+
+    from course_scraper_spark.operators.multimodal import MEDIA_SCHEMA, encode_bmp
+    import numpy as np
+
+    good = encode_bmp(4, 4, np.full((4, 4, 3), 9, dtype=np.uint8))
+    rows = [
+        ("ok", None, "image", bytearray(good), 4, 4, None),
+        ("bad-magic", None, "image", bytearray(b"XX" + good[2:]), 4, 4, None),
+        ("truncated", None, "image", bytearray(good[:30]), 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_ref: r for r in extract_features(media).collect()}
+    assert got["ok"].decode_ok
+    assert not got["bad-magic"].decode_ok and "ValueError" in got["bad-magic"].error
+    assert not got["truncated"].decode_ok
