@@ -185,3 +185,39 @@ def test_http_root_probe_failed_sources(spark, sources, pages):
     assert "LOCAL_bad" in failed
     assert {rt.source.source_id for rt in runtimes} == {s.source_id for s in sources}
     assert any(rt.is_mc for rt in runtimes)
+
+
+# -- spec-based transport (regenerates the world executor-side) --------------
+
+
+def test_spec_transport_equals_world(spec, pages_pdf):
+    """SpecTransport must serve byte-identical (status, mode, html) for
+    every URL the generator emits — it's the zero-driver-memory transport
+    the scaling bench uses at 300k pages."""
+    from course_scraper_spark.synth.transport import SpecTransport
+
+    t = SpecTransport(spec)
+    for r in pages_pdf.itertuples():
+        resolved = t._resolve(r.url)
+        assert resolved is not None, r.url
+        status, mode, html = resolved
+        assert (status, mode, html) == (r.status_code, r.fetch_mode, r.html), r.url
+    # dead links (no generator row) resolve to a connection error
+    assert t._resolve("https://h000.example.edu/catalog/missing7.html") is None
+    assert t._resolve("https://www.outside-3.org/catalog/") is None
+
+
+def test_crawl_http_spec_transport_equals_join(spark, sources, pages, spec):
+    from course_scraper_spark.operators.frontier import crawl_sources
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    base = crawl_sources(spark, sources, pages)
+    http = crawl_sources(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=spec_transport_factory(spec),
+        fetch_kwargs={"sleep_fn": None},
+    )
+    assert canon(http.seen) == canon(base.seen)

@@ -15,6 +15,10 @@ Two stages are measured, matching the two regimes of the engine:
 * ``loop``   — the full BFS crawl-extract-store loop on a 20k-page
   world. At sandbox scale this is latency-dominated (per-wave fixed
   scheduling cost), reported for completeness with that caveat.
+* ``http_fetch`` — the live-fetch regime: the fetch='http' mapInPandas
+  ladder (operators/fetch.py) + link extraction over the 300k-page heavy
+  world, served by the zero-driver-memory SpecTransport. Confirms the
+  HTTP-path UDF itself scales ≥0.8 (VERDICT r2 follow-up).
 
 Cluster-size levels: local[2] vs local[8] by default (N and 4N cores;
 --levels 4,16 for the wider pair). Every
@@ -128,6 +132,46 @@ def worker(cpus: int, stage: str) -> None:
         wall = time.time() - t0
         print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "targets": n_targets,
                           "docs": n_docs, "throughput": n_targets / wall}))
+    elif stage == "http_fetch":
+        from course_scraper_spark.operators.fetch import fetch_http
+        from course_scraper_spark.operators.frontier import _LINKS_SCHEMA, _extract_links
+        from course_scraper_spark.synth.transport import spec_transport_factory
+
+        spec = _heavy_spec(PARSE_PAGES, PARSE_HOSTS)
+        world_path = f"/tmp/scaling_world_{PARSE_PAGES}_{PARSE_HOSTS}_v2.parquet"
+        if not os.path.exists(world_path):
+            build_pages_spark(spark, spec, partitions=128).write.mode("overwrite").parquet(world_path)
+        # the wave = every URL in the world; SpecTransport regenerates the
+        # page inside the executor (no pages broadcast, no driver dict)
+        wave = (
+            spark.read.parquet(world_path)
+            .select("url")
+            .withColumn("source_id", F.lit("s"))
+            .withColumn("seq", F.monotonically_increasing_id())
+            .withColumn("depth", F.lit(0))
+            .withColumn("is_mc", F.col("url").contains("mc-catalog"))
+            .repartition(cpus * 4)
+            .cache()
+        )
+        n_urls = wave.count()
+        t0 = time.time()
+        fetched = fetch_http(wave, spec_transport_factory(spec), sleep_fn=None)
+        links = (
+            fetched.filter(F.col("ok"))
+            .select(
+                "source_id",
+                F.col("url").alias("page_url"),
+                F.col("seq").alias("parent_seq"),
+                "depth",
+                "html",
+                "is_mc",
+            )
+            .mapInPandas(_extract_links, _LINKS_SCHEMA)
+        )
+        n_links = links.count()
+        wall = time.time() - t0
+        print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "urls": n_urls,
+                          "links": n_links, "throughput": n_urls / wall}))
     else:
         spec = _heavy_spec(LOOP_PAGES, LOOP_HOSTS)
         pages_df = spark.createDataFrame(build_pages(spec)).repartition(cpus).cache()
@@ -234,7 +278,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
-    ap.add_argument("--stage", default="parse", choices=["parse", "loop"])
+    ap.add_argument("--stage", default="parse", choices=["parse", "loop", "http_fetch"])
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="2,8", help="N,4N core counts")
     ap.add_argument("--stages", default="parse,loop")
