@@ -406,6 +406,58 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(emb, _query_vec(spark, sf), k=10, n_planes=4).select("vec_id")
 
 
+_ROBOTS_RULES = [
+    ("src0.example.edu", ["/cat/p1", "/cat/p3"]),
+    ("src1.example.edu", ["/cat/"]),
+    ("src2.example.edu", []),
+    ("src3.example.edu", None),
+]
+
+
+def q_robots_disallow(spark, sf):
+    # S7/robots Disallow as an oracle-checked query: literal per-host
+    # prefix rules over synthesized catalog URLs; hosts without rules (or
+    # with empty/null lists) pass through (urllib.robotparser default)
+    from course_scraper_spark.operators.robots import filter_disallowed
+
+    documents = _t(spark, sf, "documents")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.edu/cat/p"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".html"),
+    )
+    frontier = documents.select(
+        "doc_id", page_url.alias("url"),
+        F.concat(F.col("source"), F.lit(".example.edu")).alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [(h, 1.0, d) for h, d in _ROBOTS_RULES],
+        "host string, crawl_delay double, disallow array<string>",
+    )
+    return filter_disallowed(frontier, robots, robots_rows=len(_ROBOTS_RULES)).select(
+        "doc_id", "url", "host"
+    )
+
+
+_IVF_N_LISTS = 8
+
+
+def _ivf_centroids(dim: int = 64):
+    # deterministic md5-derived centroids (offset past the ANN planes) —
+    # data-independent, so the SQL oracle embeds the same literals; the
+    # kmeans_centroids path stays the quality default (pytest-covered)
+    return [(i, SIM.hyperplane(100 + i, dim)) for i in range(_IVF_N_LISTS)]
+
+
+def q_ivf_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return SIM.ivf_topk(
+        emb, _query_vec(spark, sf), k=10, n_lists=_IVF_N_LISTS, nprobe=3,
+        centroids=_ivf_centroids(),
+    ).select("vec_id")
+
+
 def q_token_stats(spark, sf):
     documents = _t(spark, sf, "documents")
     t = F.col("text")
@@ -458,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_robots_disallow": q_robots_disallow,
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -842,6 +896,60 @@ bucketed AS (
   FROM embeddings)
 SELECT vec_id FROM bucketed, qb
 WHERE bit_count(xor(bucket::BIGINT, qbits::BIGINT)) <= 1
+ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10
+"""
+
+    # robots Disallow: literal rules mirrored as a VALUES dim; the Spark
+    # side is the exists()-over-prefix-array Column algebra
+    def _rule_sql(h, d):
+        if d is None:
+            lit = "NULL"
+        elif not d:
+            lit = "[]::VARCHAR[]"
+        else:
+            lit = "[" + ", ".join(f"'{p}'" for p in d) + "]"
+        return f"('{h}', {lit})"
+
+    rules_values = ",\n  ".join(_rule_sql(h, d) for h, d in _ROBOTS_RULES)
+    out["q_robots_disallow"] = f"""
+WITH rules(host, disallow) AS (VALUES
+  {rules_values}),
+f AS (SELECT doc_id,
+  'https://' || source || '.example.edu/cat/p' || (doc_id % 7) || '.html' AS url,
+  source || '.example.edu' AS host,
+  '/cat/p' || (doc_id % 7) || '.html' AS path
+  FROM documents),
+j AS (SELECT f.doc_id, f.url, f.host, f.path, r.disallow
+      FROM f LEFT JOIN rules r ON f.host = r.host)
+SELECT doc_id, url, host FROM j
+WHERE NOT coalesce(len(list_filter(disallow, p -> starts_with(path, p))) > 0, false)
+"""
+
+    # IVF top-k: deterministic centroid literals on both engines; assign
+    # by round-6 argmax (ties -> lowest list id), probe the nprobe=3
+    # nearest lists to the query, exact cosine on the survivors
+    cents_vals = ",\n  ".join(
+        f"({i}, [" + ", ".join(repr(v) for v in c) + "])" for i, c in _ivf_centroids()
+    )
+    out["q_ivf_topk"] = f"""
+WITH cents(i, c) AS (VALUES
+  {cents_vals}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.i,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.c), 6) AS cos
+  FROM embeddings e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, v, i FROM (
+    SELECT vec_id, v, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i) AS rn
+    FROM scored) WHERE rn = 1),
+qscore AS (
+  SELECT c.i, round(list_cosine_similarity(q.qv, c.c), 6) AS cos FROM cents c, q),
+probe AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY cos DESC, i) AS rn FROM qscore) WHERE rn <= 3)
+SELECT vec_id FROM assigned JOIN probe USING (i), q
 ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10
 """
 

@@ -291,7 +291,10 @@ def ivf_assign(
         carr = F.array(*[F.lit(float(v)) for v in c])
         cnorm = math.sqrt(sum(float(v) * float(v) for v in c))
         td = F.try_divide(_dot(F.col(vec_col), carr), _norm(F.col(vec_col)) * F.lit(cnorm))
-        return F.coalesce(F.nanvl(td, F.lit(-2.0)), F.lit(-2.0))
+        # round-6 before argmax: makes the assignment portable to the SQL
+        # oracle (round(list_cosine_similarity)) — same discipline as the
+        # cosine contract queries
+        return F.coalesce(F.nanvl(F.round(td, 6), F.lit(-2.0)), F.lit(-2.0))
 
     scored = F.array(
         *[
@@ -311,19 +314,23 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    assigned, cents = ivf_assign(emb, n_lists, id_col, vec_col)
+    assigned, cents = ivf_assign(emb, n_lists, id_col, vec_col, centroids=centroids)
     qnorm = math.sqrt(sum(v * v for v in query))
     scored = sorted(
         (
             (
                 i,
-                sum(q * c for q, c in zip(query, cv))
-                / (qnorm * math.sqrt(sum(c * c for c in cv)) + 1e-12),
+                round(
+                    sum(q * c for q, c in zip(query, cv))
+                    / (qnorm * math.sqrt(sum(c * c for c in cv)) + 1e-12),
+                    6,
+                ),
             )
             for i, cv in cents
         ),
-        key=lambda t: -t[1],
+        key=lambda t: (-t[1], t[0]),  # ties -> lowest list id (portable)
     )
     probe = [i for i, _ in scored[:nprobe]]
     q = F.array(*[F.lit(float(v)) for v in query])
