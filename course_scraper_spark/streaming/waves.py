@@ -17,6 +17,12 @@ continuous-ingest deployment shape:
   arrived seed rows triggers one batch crawl into the same snapshot
   tables the batch pipeline uses — streams and batch share storage, so
   resume/lineage semantics are identical.
+* ``streaming_politeness_slots`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-host fetch-slot numbers continue
+  across micro-batches (the slot counter lives in the state store), so
+  the politeness rate ceiling holds over the whole stream rather than
+  resetting per batch. The batch twin is
+  ``operators/politeness.with_schedule``.
 """
 
 from __future__ import annotations
@@ -75,6 +81,74 @@ def streaming_event_rollup(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+POLITE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("sched_time", T.DoubleType()),
+    ]
+)
+
+POLITE_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def streaming_politeness_slots(
+    spark: SparkSession,
+    input_dir: str,
+    crawl_delays: dict[str, float] | None = None,
+    default_delay: float = 1.0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-host politeness slots as a custom stateful streaming operator.
+
+    ``applyInPandasWithState`` keyed on host: each group's pandas batch
+    gets slot numbers continuing from the host's state-store counter, so
+    slot n fires at ``(n-1) * crawl_delay`` measured over the STREAM's
+    lifetime — the continuous form of the batch scheduler
+    (operators/politeness.with_schedule), and the shape a long-running
+    ingest deployment needs (a per-batch window would reset every
+    micro-batch and burst past the host's rate ceiling). Rows within a
+    batch order by (discovered_at, url) — deterministic, like the batch
+    form's (seq, tiebreak)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions import urls as U
+
+    delays = dict(crawl_delays or {})
+    reader = spark.readStream.schema(URL_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(input_dir).withColumn("host", U.host_of(F.col("url")))
+
+    def assign(key, pdfs, state):
+        import pandas as pd
+
+        host = key[0]
+        (n,) = state.get if state.exists else (0,)
+        delay = float(delays.get(host, default_delay))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["discovered_at", "url"]).reset_index(drop=True)
+            k = len(pdf)
+            slots = list(range(n + 1, n + 1 + k))
+            n += k
+            yield pd.DataFrame(
+                {
+                    "host": [host] * k,
+                    "url": pdf["url"],
+                    "source_id": pdf["source_id"],
+                    "slot": slots,
+                    "sched_time": [(s - 1) * delay for s in slots],
+                }
+            )
+        state.update((n,))
+
+    return stream.groupBy("host").applyInPandasWithState(
+        assign, POLITE_OUT_SCHEMA, POLITE_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -101,3 +101,49 @@ def test_foreach_batch_crawl_trigger(spark, tmp_path, sources, pages):
     q = crawl_on_new_seeds(spark, d, process, str(tmp_path / "ck3"))
     q.awaitTermination(240)
     assert seen_counts and seen_counts[0] > 0
+
+
+def test_streaming_politeness_slots_state_continues(spark, tmp_path):
+    """applyInPandasWithState: per-host slot numbers continue across
+    micro-batches (slot counter in the state store) — the continuous
+    politeness scheduler."""
+    import time
+
+    from course_scraper_spark.streaming.waves import streaming_politeness_slots
+
+    d = str(tmp_path / "polite")
+    _write_json(
+        f"{d}/b0.json",
+        [
+            {"url": "https://a.edu/p1", "source_id": "s", "discovered_at": "2024-01-01T00:00:00Z"},
+            {"url": "https://a.edu/p2", "source_id": "s", "discovered_at": "2024-01-01T00:01:00Z"},
+            {"url": "https://b.edu/q1", "source_id": "s", "discovered_at": "2024-01-01T00:01:30Z"},
+        ],
+    )
+    time.sleep(1.1)  # distinct mtime: file source orders b0 before b1
+    _write_json(
+        f"{d}/b1.json",
+        [
+            {"url": "https://a.edu/p3", "source_id": "s", "discovered_at": "2024-01-01T00:02:00Z"},
+            {"url": "https://b.edu/q2", "source_id": "s", "discovered_at": "2024-01-01T00:02:30Z"},
+        ],
+    )
+    q = (
+        streaming_politeness_slots(
+            spark, d, crawl_delays={"a.edu": 2.0}, max_files_per_trigger=1
+        )
+        .writeStream.format("memory")
+        .queryName("polite_slots")
+        .option("checkpointLocation", str(tmp_path / "ckp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.url: (r.slot, r.sched_time) for r in spark.sql("SELECT * FROM polite_slots").collect()}
+    # batch 1 assigned a.edu slots 1,2; batch 2 CONTINUED at 3 (not reset)
+    assert rows["https://a.edu/p1"] == (1, 0.0)
+    assert rows["https://a.edu/p2"] == (2, 2.0)
+    assert rows["https://a.edu/p3"] == (3, 4.0)
+    # independent per-host counters; default delay 1.0 for b.edu
+    assert rows["https://b.edu/q1"] == (1, 0.0)
+    assert rows["https://b.edu/q2"] == (2, 1.0)
