@@ -212,6 +212,72 @@ def fetch_http(
     return wave.mapInPandas(run, out_schema)
 
 
+def fetch_extract_http(
+    wave: DataFrame,
+    transport_factory: Callable[[], object],
+    url_col: str = "url",
+    sleep_fn: Callable[[float], None] | None = None,
+    max_retries: int = MAX_RETRIES,
+    base_backoff_s: float = BASE_BACKOFF_S,
+) -> DataFrame:
+    """FUSED fetch + link extraction: the ladder and the href parser run
+    in the same Python worker, so page HTML never crosses the Arrow
+    boundary at all.
+
+    Measured (tools/scaling_bench.py, 460k heavy pages): the two-step
+    fetch_http → mapInPandas(extract) chain moves every page body
+    Python→JVM→Python — at ~15 KB/page that is GC/serialization-bound,
+    not CPU-bound, and its N→4N efficiency collapsed to ~0.32 while the
+    fused form stays CPU-shaped. At 100 TB this is the difference
+    between shipping the corpus through Arrow twice per wave and never
+    shipping it. Failed fetches yield no link rows — identical to
+    ``fetch_http(...).filter(ok)`` + extract (equality-tested).
+
+    Input columns: (source_id, url, seq, depth, is_mc, ...); output is
+    the crawl loop's links schema. Use the two-step form when per-URL
+    fetch stats must be recorded (metrics path)."""
+    from ..functions.htmlmini import extract_hrefs, extract_mc_listing_hrefs
+
+    cols = ("source_id", "page_url", "parent_seq", "parent_depth", "link_pos", "stream", "href")
+    schema = (
+        "source_id string, page_url string, parent_seq long, parent_depth int, "
+        "link_pos int, stream string, href string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()  # once per partition: session reuse
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for sid, url, seq, dep, is_mc in zip(
+                pdf["source_id"], pdf[url_col], pdf["seq"], pdf["depth"], pdf["is_mc"]
+            ):
+                ok, _status, _mode, html, _attempts = run_ladder(
+                    transport, url, sleep_fn, max_retries, base_backoff_s
+                )
+                if not ok:
+                    continue  # dead fetch: stays in seen, yields no links
+                for pos, href in enumerate(extract_hrefs(html)):
+                    out["source_id"].append(sid)
+                    out["page_url"].append(url)
+                    out["parent_seq"].append(seq)
+                    out["parent_depth"].append(dep)
+                    out["link_pos"].append(pos)
+                    out["stream"].append("anchor")
+                    out["href"].append(href)
+                if is_mc:
+                    for pos, href in enumerate(extract_mc_listing_hrefs(html)):
+                        out["source_id"].append(sid)
+                        out["page_url"].append(url)
+                        out["parent_seq"].append(seq)
+                        out["parent_depth"].append(dep)
+                        out["link_pos"].append(pos)
+                        out["stream"].append("mc_listing")
+                        out["href"].append(href)
+            yield pd.DataFrame(out)
+
+    return wave.mapInPandas(run, schema)
+
+
 def http_root_probe(spark, root_urls: list[str], transport_factory) -> DataFrame:
     """Distributed root fetch for ``fetch='http'`` mode: one single GET
     per root (the reference's root fetch has NO retry/fallback ladder and

@@ -325,7 +325,11 @@ def crawl_sources(
     anti-join. Identical results (the filters have no false negatives;
     positives hit the exact join), fewer anti-join probes.
     """
+    if fetch not in ("join", "http"):
+        raise ValueError(f"fetch must be 'join' or 'http', got {fetch!r}")
     if fetch == "http":
+        if transport_factory is None:
+            raise ValueError("fetch='http' requires a transport_factory")
         runtimes, failed = resolve_sources_transport(spark, sources, transport_factory)
     else:
         runtimes, failed = resolve_sources(spark, sources, pages)
@@ -396,9 +400,10 @@ def crawl_sources(
         # exchange per wave measured 20-50s of IO noise). Inner join ==
         # left join here: URLs without a page row have null status and
         # are dropped by fetch_ok anyway (they stay in seen — the
-        # dead-fetch path). On a live cluster this join is replaced by
-        # the HTTP fetch inside the UDF, so no join exists at all; the
-        # broadcast is a synthetic-harness artifact, not the scale design.
+        # dead-fetch path). On a live cluster pass fetch='http' — the
+        # ladder in operators/fetch.py runs inside the UDF and no join
+        # exists at all; the broadcast is a synthetic-harness artifact,
+        # not the scale design.
         if metrics_store is not None and fetch != "http":
             # per-host-bucket lineage (north rule): fetched/failed per
             # host per wave, including URLs with no page row at all
@@ -421,27 +426,36 @@ def crawl_sources(
                 wave_slim, "host", threshold=salt_hosts_threshold, salt_col="url"
             )
         fetched_raw = None
+        links_pre = None
         if fetch == "http":
             # live path: the HTTP ladder runs inside the UDF over the
             # wave's partitioning — no join with a pages table exists
-            from .fetch import fetch_http
-
-            fetched_raw = fetch_http(wave_slim, transport_factory, **(fetch_kwargs or {}))
             if metrics_store is not None:
+                # two-step: per-URL fetch stats need the raw ladder rows
+                from .fetch import fetch_http
                 from .metrics import fetch_stats_from_http
 
                 # the raw fetch feeds both the stats agg and the link
                 # extraction — persist so the ladder runs once per URL
-                fetched_raw = fetched_raw.persist()
+                fetched_raw = fetch_http(
+                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                ).persist()
                 metrics_store.record_wave(run_id, depth, fetch_stats_from_http(fetched_raw))
-            fetched = fetched_raw.filter(F.col("ok")).select(
-                "source_id",
-                F.col("url").alias("page_url"),
-                F.col("seq").alias("parent_seq"),
-                "depth",
-                "html",
-                "is_mc",
-            )
+                fetched = fetched_raw.filter(F.col("ok")).select(
+                    "source_id",
+                    F.col("url").alias("page_url"),
+                    F.col("seq").alias("parent_seq"),
+                    "depth",
+                    "html",
+                    "is_mc",
+                )
+            else:
+                # fused fetch+extract: page html never crosses Arrow
+                from .fetch import fetch_extract_http
+
+                links_pre = fetch_extract_http(
+                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                )
         else:
             fetched = (
                 _fetch_join(
@@ -462,7 +476,11 @@ def crawl_sources(
             # threshold the join shuffles both sides on url hash
             # (uniform, skew-free).
 
-        links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
+        links = (
+            links_pre
+            if links_pre is not None
+            else fetched.mapInPandas(_extract_links, _LINKS_SCHEMA)
+        ).join(dim, "source_id")
 
         href2 = U.strip_fragment(F.col("href"))
         cand = (
@@ -670,7 +688,11 @@ def crawl_sources_budgeted(
     reference reads only crawl_delay). ``fetch='http'`` routes fetches
     through the live mapInPandas ladder (see :func:`crawl_sources`).
     """
+    if fetch not in ("join", "http"):
+        raise ValueError(f"fetch must be 'join' or 'http', got {fetch!r}")
     if fetch == "http":
+        if transport_factory is None:
+            raise ValueError("fetch='http' requires a transport_factory")
         runtimes, failed = resolve_sources_transport(spark, sources, transport_factory)
     else:
         runtimes, failed = resolve_sources(spark, sources, pages)
@@ -753,24 +775,31 @@ def crawl_sources_budgeted(
             F.col("is_mc") | (F.col("depth") < F.col("max_depth"))
         )
         fetched_raw = None
+        links_pre = None
         if fetch == "http":
-            from .fetch import fetch_http
-
             wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
-            fetched_raw = fetch_http(wave_slim, transport_factory, **(fetch_kwargs or {}))
             if metrics_store is not None:
+                from .fetch import fetch_http
                 from .metrics import fetch_stats_from_http
 
-                fetched_raw = fetched_raw.persist()
+                fetched_raw = fetch_http(
+                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                ).persist()
                 metrics_store.record_wave(run_id, rounds, fetch_stats_from_http(fetched_raw))
-            fetched = fetched_raw.filter(F.col("ok")).select(
-                "source_id",
-                F.col("url").alias("page_url"),
-                F.col("seq").alias("parent_seq"),
-                "depth",
-                "html",
-                "is_mc",
-            )
+                fetched = fetched_raw.filter(F.col("ok")).select(
+                    "source_id",
+                    F.col("url").alias("page_url"),
+                    F.col("seq").alias("parent_seq"),
+                    "depth",
+                    "html",
+                    "is_mc",
+                )
+            else:
+                from .fetch import fetch_extract_http
+
+                links_pre = fetch_extract_http(
+                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                )
         else:
             wave_slim = expandable.select("source_id", "url", "seq", "depth", "is_mc")
             fetched = (
@@ -785,7 +814,11 @@ def crawl_sources_budgeted(
                     "is_mc",
                 )
             )
-        links = fetched.mapInPandas(_extract_links, _LINKS_SCHEMA).join(dim, "source_id")
+        links = (
+            links_pre
+            if links_pre is not None
+            else fetched.mapInPandas(_extract_links, _LINKS_SCHEMA)
+        ).join(dim, "source_id")
         cand = (
             links.withColumn("href2", U.strip_fragment(F.col("href")))
             .filter(U.is_followable(F.col("href2")))

@@ -15,7 +15,8 @@ Scheduling never changes WHAT gets crawled, only WHEN — the equality
 invariants (seen set, visit order) are unaffected because deferral
 preserves seq order per host and the anti-join happens before
 scheduling. Used by the throughput path (bench) and exported as the
-``q_politeness_budget`` oracle-checked query.
+``q_politeness_schedule`` oracle-checked query; the streaming form is
+``streaming/waves.streaming_politeness_slots``.
 """
 
 from __future__ import annotations

@@ -84,3 +84,35 @@ def build_pages_spark(spark: SparkSession, spec: WorldSpec, partitions: int | No
     # afterwards so the written table carries `partitions` files/row-groups
     # (scan splits = files; a 4-file world serializes every reader)
     return idx.mapInPandas(gen, PAGES_SCHEMA).dropDuplicates(["url"]).repartition(parts)
+
+
+def build_urls_spark(
+    spark: SparkSession, spec: WorldSpec, partitions: int | None = None
+) -> DataFrame:
+    """URL list of the world WITHOUT rendering html — (url, host, is_mc).
+
+    The fetch-throughput bench pairs this with SpecTransport: the wave
+    side stays tiny while pages are regenerated executor-side inside the
+    fetch UDF, so worlds 10-100x bigger than the parquet one are cheap
+    (no multi-GB html materialization anywhere)."""
+    sizes = spec.host_sizes()
+    dim = spark.createDataFrame(
+        [(k, sizes[k]) for k in range(spec.n_hosts)], "k int, n_pages int"
+    )
+    idx = dim.select(
+        "k", "n_pages", F.explode(F.sequence(F.lit(0), F.col("n_pages") - 1)).alias("i")
+    )
+    parts = partitions or spark.sparkContext.defaultParallelism
+    idx = idx.repartition(parts, F.col("k"), F.col("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hosts, mcs = [], [], []
+            for k, n_pages, i in zip(pdf["k"], pdf["n_pages"], pdf["i"]):
+                k, n_pages, i = int(k), int(n_pages), int(i)
+                urls.append(page_url(spec, k, i, n_pages))
+                hosts.append(spec.host_name(k))
+                mcs.append(spec.is_mc(k))
+            yield pd.DataFrame({"url": urls, "host": hosts, "is_mc": mcs})
+
+    return idx.mapInPandas(gen, "url string, host string, is_mc boolean")

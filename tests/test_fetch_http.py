@@ -221,3 +221,39 @@ def test_crawl_http_spec_transport_equals_join(spark, sources, pages, spec):
         fetch_kwargs={"sleep_fn": None},
     )
     assert canon(http.seen) == canon(base.seen)
+
+
+def test_fused_fetch_extract_equals_two_step(spark, pages, spec):
+    """fetch_extract_http (html never crosses Arrow) emits exactly the
+    rows of fetch_http(...).filter(ok) -> extract_links."""
+    from course_scraper_spark.operators.frontier import _LINKS_SCHEMA, _extract_links
+    from course_scraper_spark.operators.fetch import fetch_extract_http, fetch_http
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    wave = (
+        pages.select("url")
+        .withColumn("source_id", F.lit("s"))
+        .withColumn("seq", F.monotonically_increasing_id())
+        .withColumn("depth", F.lit(0))
+        .withColumn("is_mc", F.col("url").contains("mc-catalog"))
+    ).cache()
+    factory = spec_transport_factory(spec)
+    fused = fetch_extract_http(wave, factory, sleep_fn=None)
+    two_step = (
+        fetch_http(wave, factory, sleep_fn=None)
+        .filter(F.col("ok"))
+        .select(
+            "source_id",
+            F.col("url").alias("page_url"),
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            "html",
+            F.col("is_mc").alias("is_mc"),
+        )
+        .withColumnRenamed("parent_depth", "depth")
+        .mapInPandas(_extract_links, _LINKS_SCHEMA)
+    )
+    cols = ["source_id", "page_url", "parent_seq", "link_pos", "stream", "href"]
+    a = sorted(tuple(r) for r in fused.select(*cols).collect())
+    b = sorted(tuple(r) for r in two_step.select(*cols).collect())
+    assert a == b and len(a) > 0
