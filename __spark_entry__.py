@@ -345,6 +345,15 @@ def q_simhash_pairs(spark, sf):
     )
 
 
+def q_dup_clusters(spark, sf):
+    # the dedup KEEP-LIST: near-dup pairs -> transitive closure ->
+    # (doc_id, cluster_id, is_canonical); pairs = 32-bit simhash d<=3
+    docs = _t(spark, sf, "documents")
+    sigs = D.simhash_pandas(docs, bits=32)
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3)
+    return D.dup_clusters(docs, pairs).select("doc_id", "cluster_id", "is_canonical")
+
+
 def q_simhash64(spark, sf):
     # the SCALE configuration (Manku et al.): 64-bit signatures — two's-
     # complement longs on both engines; banding gets 16-bit blocks
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_simhash64": q_simhash64,
         "q_simhash64_pairs": q_simhash64_pairs,
+        "q_dup_clusters": q_dup_clusters,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
@@ -789,6 +799,30 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    # dup clusters: transitive closure of the simhash-pair graph via a
+    # recursive CTE (symmetric edges -> reach covers the component; min
+    # reachable id = cluster id), singletons cluster with themselves
+    out["q_dup_clusters"] = f"""
+WITH RECURSIVE
+sigs AS ({sig_body}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS cluster_id,
+       (d.doc_id = coalesce(c.comp, d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
     out["q_simhash64"] = _simhash_sql(bits=64)

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh_dedup",
     "q_simhash_pairs",
     "q_simhash64_pairs",
+    "q_dup_clusters",
     "q_ann_lsh_topk",
     "q_token_stats",
     "q_lang_id",

@@ -454,6 +454,78 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, comp) — comp = the smallest node id reachable from node.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the min of its own label and its neighbors'
+    labels; fixpoint in O(graph diameter) rounds. Near-dup graphs are
+    unions of small dense clusters (diameter 2-4), so a handful of
+    rounds suffice; the per-round delta is localCheckpointed so the
+    iterative plan stays flat. At the 100 TB target the same loop holds
+    (each round = one join + one min-agg, both shuffle-on-node-id); for
+    adversarially long chains swap in star-contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which this API can host
+    without changing callers. Raises if max_iter rounds don't converge —
+    never returns a partially-propagated labeling."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                (F.col("ncomp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.coalesce(F.col("_changed"), F.lit(False))).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dup_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The dedup KEEP-LIST: (doc_id, cluster_id, is_canonical).
+
+    Near-dup PAIRS are not a dedup decision — transitive closure is
+    (a~b, b~c ⇒ {a,b,c} is one cluster even if a~c was never a candidate
+    pair). cluster_id = min doc id in the component; the canonical doc
+    (the one a training pipeline keeps) is the cluster minimum; docs in
+    no pair are their own singleton cluster."""
+    comp = connected_components(pairs, a_col, b_col)
+    ids = all_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    out = ids.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
+    )
+    return out.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
 def embedding_near_dup(
     emb: DataFrame,
     id_col: str = "vec_id",

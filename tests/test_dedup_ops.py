@@ -222,3 +222,40 @@ def test_simhash64_bucket_cardinality_not_capped(spark):
     assert all(n <= 256 for n in per_band32.values())  # the 32-bit ceiling
     assert any(n > 256 for n in per_band64.values())   # lifted at 64-bit
     assert sum(per_band64.values()) > sum(per_band32.values())
+
+
+# -- cluster formation (pairs -> keep-list) ------------------------------------
+
+
+def test_connected_components_transitive(spark):
+    """a~b, b~c (a~c never a pair) must land in ONE cluster — pairs alone
+    are not a dedup decision."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    comp = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[9] == 7
+
+
+def test_connected_components_long_chain_and_convergence_guard(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10, 20)], ["doc_a", "doc_b"])
+    comp = {r.node: r.comp for r in D.connected_components(chain).collect()}
+    assert set(comp.values()) == {10} and len(comp) == 11
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=1)
+
+
+def test_dup_clusters_keep_list(spark, docs):
+    """End-to-end: exact dups 1&4 cluster together via simhash d<=3;
+    unrelated docs stay singleton canonicals."""
+    sigs = D.simhash(docs)
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3)
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in D.dup_clusters(docs, pairs).collect()}
+    assert len(out) == 5
+    assert out[1] == (1, True) and out[4][0] == 1 and not out[4][1]
+    assert out[3] == (3, True) and out[5] == (5, True)
+    # exactly one canonical per cluster
+    from collections import Counter
+
+    canon_per_cluster = Counter(c for c, canon in out.values() if canon)
+    clusters = {c for c, _ in out.values()}
+    assert set(canon_per_cluster) == clusters and all(v == 1 for v in canon_per_cluster.values())
