@@ -70,6 +70,22 @@ def crawl_extract_bench(spark, n_hosts=12, total_pages=1500):
     n_docs = out.docs.count()
     n_courses = out.courses.count()
     wall = time.time() - t0
+
+    # the production fetch path (fetch='http', fused ladder+extract via
+    # SpecTransport) on the same world — reported alongside, not part of
+    # the headline `value` (keeps round-over-round comparability)
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    t1 = time.time()
+    res_http = crawl_sources(
+        spark, sources, pages, fetch="http",
+        transport_factory=spec_transport_factory(spec),
+        fetch_kwargs={"sleep_fn": None},
+    )
+    n_seen_http = res_http.seen.count()
+    wall_http = time.time() - t1
+    assert n_seen_http == n_seen, (n_seen_http, n_seen)
+
     return {
         "wall_sec": round(wall, 2),
         "urls_seen": n_seen,
@@ -78,6 +94,8 @@ def crawl_extract_bench(spark, n_hosts=12, total_pages=1500):
         "urls_per_sec": round(n_seen / wall, 2),
         "fetched_parsed_per_sec": round((n_seen + n_docs) / wall, 2),
         "n_waves": len(res.metrics),
+        "crawl_http_wall_sec": round(wall_http, 2),
+        "crawl_http_urls_per_sec": round(n_seen_http / wall_http, 2),
     }
 
 
