@@ -229,19 +229,29 @@ def test_simhash64_bucket_cardinality_not_capped(spark):
 
 def test_connected_components_transitive(spark):
     """a~b, b~c (a~c never a pair) must land in ONE cluster — pairs alone
-    are not a dedup decision."""
+    are not a dedup decision. Both the driver union-find branch and the
+    distributed label-propagation branch must agree."""
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
-    comp = {r.node: r.comp for r in D.connected_components(pairs).collect()}
-    assert comp[1] == comp[2] == comp[3] == 1
-    assert comp[7] == comp[9] == 7
+    for thresh in (2_000_000, 0):  # union-find path / distributed path
+        comp = {
+            r.node: r.comp
+            for r in D.connected_components(pairs, driver_edge_threshold=thresh).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == 1, thresh
+        assert comp[7] == comp[9] == 7, thresh
 
 
 def test_connected_components_long_chain_and_convergence_guard(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(10, 20)], ["doc_a", "doc_b"])
-    comp = {r.node: r.comp for r in D.connected_components(chain).collect()}
-    assert set(comp.values()) == {10} and len(comp) == 11
+    for thresh in (2_000_000, 0):
+        comp = {
+            r.node: r.comp
+            for r in D.connected_components(chain, driver_edge_threshold=thresh).collect()
+        }
+        assert set(comp.values()) == {10} and len(comp) == 11, thresh
+    # the distributed loop must raise rather than return a partial labeling
     with pytest.raises(RuntimeError, match="converge"):
-        D.connected_components(chain, max_iter=1)
+        D.connected_components(chain, max_iter=1, driver_edge_threshold=0)
 
 
 def test_dup_clusters_keep_list(spark, docs):
