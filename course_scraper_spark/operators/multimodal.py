@@ -82,29 +82,9 @@ def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
     feature [w/256, h/256, mean R,G,B /255, gray std/128, gray min/255,
     gray max/255]. Raises (→ dead-letter row) on bad magic, unsupported
     bpp/compression, or truncated pixel data."""
-    if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP: bad magic/short header")
-    offset = struct.unpack_from("<I", payload, 10)[0]
-    _hdr, width, height = struct.unpack_from("<Iii", payload, 14)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    comp = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
-    top_down = height < 0
-    height = abs(height)
-    row_raw = width * 3
-    stride = row_raw + (4 - row_raw % 4) % 4
-    if width <= 0 or height <= 0 or len(payload) < offset + stride * height:
-        raise ValueError("truncated BMP pixel data")
-    arr = (
-        np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
-        .reshape(height, stride)[:, :row_raw]
-        .reshape(height, width, 3)
-    )
-    if not top_down:
-        arr = arr[::-1]
-    bgr = arr.astype(np.float32)
-    b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
+    px = _decode_bmp_pixels(payload).astype(np.float32)
+    height, width = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
     gray = 0.299 * r + 0.587 * g + 0.114 * b
     return np.array(
         [
@@ -173,6 +153,90 @@ def strict_decode(payload: bytes, media_type: str) -> np.ndarray:
         "real media decoding needs codec libraries (PIL/ffmpeg) not present "
         "in this container; inject a decoder via extract_features(decode_fn=...)"
     )
+
+
+def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 array from an uncompressed 24-bit BMP — the
+    shared parser behind decode_bmp and the resize transform."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic/short header")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, width, height = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down = height < 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    if width <= 0 or height <= 0 or len(payload) < offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
+        .reshape(height, stride)[:, :row_raw]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        arr = arr[::-1]
+    return arr[:, :, ::-1]  # BGR -> RGB
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Thumbnail stage: decode BMP → nearest-neighbor resize → re-encode
+    BMP. Real bytes in, real bytes out (no codec libs needed for the
+    uncompressed format); corrupt payloads dead-letter like
+    extract_features. The batch-size discipline matches extract_features:
+    size-binned repartition bounds Arrow batch BYTES."""
+    spark = media.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    sized = media.withColumn(
+        "_szbin", (F.log2(F.length("payload") + F.lit(1))).cast("int")
+    ).repartition(parts, F.col("_szbin"), F.col("media_ref"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = {"media_ref": [], "payload": [], "width": [], "height": [], "decode_ok": [], "error": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                out["media_ref"].append(ref)
+                try:
+                    px = _decode_bmp_pixels(bytes(payload))
+                    h0, w0 = px.shape[:2]
+                    # nearest-neighbor index maps (deterministic)
+                    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    thumb = px[yi][:, xi]
+                    out["payload"].append(encode_bmp(width, height, thumb))
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["decode_ok"].append(True)
+                    out["error"].append(None)
+                except Exception as e:  # dead-letter, not task failure
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["decode_ok"].append(False)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return sized.drop("_szbin").mapInPandas(run, out_schema)
 
 
 def extract_features(

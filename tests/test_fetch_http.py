@@ -257,3 +257,22 @@ def test_fused_fetch_extract_equals_two_step(spark, pages, spec):
     a = sorted(tuple(r) for r in fused.select(*cols).collect())
     b = sorted(tuple(r) for r in two_step.select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_crawl_http_with_salting_equals_join(spark, sources, pages, spec):
+    """Salted repartition composes with the fused HTTP fetch (the
+    live-cluster shape: spread Zipf hosts, then ladder inside the UDF)."""
+    from course_scraper_spark.operators.frontier import crawl_sources
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    base = crawl_sources(spark, sources, pages)
+    http = crawl_sources(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=spec_transport_factory(spec),
+        fetch_kwargs={"sleep_fn": None},
+        salt_hosts_threshold=10,
+    )
+    assert canon(http.seen) == canon(base.seen)

@@ -115,3 +115,41 @@ def test_corrupt_bmp_dead_letters(spark):
     assert got["ok"].decode_ok
     assert not got["bad-magic"].decode_ok and "ValueError" in got["bad-magic"].error
     assert not got["truncated"].decode_ok
+
+
+def test_resize_media_thumbnails(docs_with_media):
+    from course_scraper_spark.operators.multimodal import decode_bmp, resize_media
+
+    media = synth_media_table(docs_with_media)
+    thumbs = resize_media(media, width=8, height=8).collect()
+    assert len(thumbs) == 40 and all(r.decode_ok for r in thumbs)
+    for r in thumbs[:5]:
+        feat = decode_bmp(bytes(r.payload))  # output is itself a valid BMP
+        assert abs(feat[0] - 8 / 256) < 1e-6 and abs(feat[1] - 8 / 256) < 1e-6
+        assert r.width == 8 and r.height == 8
+
+
+def test_resize_media_preserves_constant_color(spark):
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        resize_media,
+    )
+
+    rgb = np.zeros((10, 10, 3), dtype=np.uint8)
+    rgb[..., 0] = 120
+    rgb[..., 1] = 60
+    rgb[..., 2] = 30
+    rows = [("c", None, "image", bytearray(encode_bmp(10, 10, rgb)), 10, 10, None),
+            ("bad", None, "image", bytearray(b"nope"), 1, 1, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_ref: r for r in resize_media(media, width=4, height=4).collect()}
+    feat = decode_bmp(bytes(got["c"].payload))
+    # nearest-neighbor on a constant image keeps the exact color
+    assert abs(feat[2] - 120 / 255) < 1e-6
+    assert abs(feat[3] - 60 / 255) < 1e-6
+    assert abs(feat[4] - 30 / 255) < 1e-6
+    assert not got["bad"].decode_ok and got["bad"].payload is None
