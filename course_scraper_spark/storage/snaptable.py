@@ -224,12 +224,44 @@ class SnapshotTable:
                 buckets.add(b)
         return out
 
+    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+        """Iceberg-style table maintenance (``expireSnapshots``): only the
+        last ``keep_last`` snapshots stay time-travelable; data dirs
+        referenced by NO retained snapshot are deleted from disk. Returns
+        the deleted dirs. Reads at expired snapshot ids/tags raise — the
+        Iceberg contract — while the commit log itself stays (metadata is
+        tiny; lineage/tags remain inspectable). A long-running crawl calls
+        this periodically so per-wave delta files don't accumulate
+        forever once their snapshots are past the resume horizon."""
+        import shutil
+
+        cutoff = max(0, len(self.commits) - keep_last)
+        live: set[str] = set()
+        for c in self.commits[cutoff:]:
+            live |= set(self._live_dirs(c.id).keys())
+        deleted = []
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                if d not in live:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    deleted.append(d)
+        self.props["min_snapshot_id"] = cutoff
+        self._flush()
+        return deleted
+
     def read(self, snapshot_id: int | None = None, tag: str | None = None) -> DataFrame:
         if tag is not None:
             matches = [c.id for c in self.commits if c.tag == tag]
             if not matches:
                 raise KeyError(f"no snapshot tagged {tag!r}")
             snapshot_id = matches[-1]
+        min_id = int(self.props.get("min_snapshot_id", 0))
+        if snapshot_id is not None and snapshot_id < min_id:
+            raise KeyError(
+                f"snapshot {snapshot_id} expired (oldest retained: {min_id}); "
+                f"expire_snapshots removed its data files"
+            )
         live = self._live_dirs(snapshot_id)
         dfs = []
         for rel, (mode, buckets) in live.items():

@@ -85,3 +85,25 @@ sources:
     assert s.source_id == "LOCAL_demo"  # config.py:48 default
     assert s.crawl_depth == 3 and s.url_exclude_patterns == ["archive"]
     assert s.max_concurrency == 1 and s.include_external is False  # defaults
+
+
+def test_write_json_debug_roundtrip(spark, tmp_path):
+    """K8 JSON debug sink (storage.py:320-333): rows round-trip through
+    the JSON dump."""
+    import json, glob
+
+    from course_scraper_spark.reporting import write_json_debug
+
+    df = spark.createDataFrame(
+        [(1, "Intro to Data", 3.0), (2, "Calculus", 4.0)], ["course_id", "title", "credits"]
+    )
+    out = str(tmp_path / "debug_json")
+    write_json_debug(df, out)
+    rows = []
+    for f in glob.glob(f"{out}/part-*.json"):
+        with open(f) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert sorted((r["course_id"], r["title"], r["credits"]) for r in rows) == [
+        (1, "Intro to Data", 3.0),
+        (2, "Calculus", 4.0),
+    ]

@@ -111,3 +111,39 @@ def test_overwrite_merge_time_travel_still_exact(spark, tmp_path):
     # snapshot at the overwrite still reads the pre-merge values, once each
     old = [(r.host, r.n) for r in t.read(snapshot_id=cid_ow).collect()]
     assert sorted(old) == sorted((f"h{i}.edu", i) for i in range(12))
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Iceberg-style maintenance: expired snapshots' unique data dirs are
+    deleted from disk, their reads raise, retained history still works."""
+    import os
+
+    from course_scraper_spark.storage.snaptable import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "exp"), bucket_col="host", n_buckets=4)
+    mk = lambda i: spark.createDataFrame([(f"h{i}.edu", f"u{i}")], ["host", "url"])
+    ids = [t.append(mk(i), tag=f"s{i}") for i in range(5)]
+    t.overwrite(mk(99), tag="cut")  # makes the first appends' dirs dead
+    t.append(mk(100), tag="tail")
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+
+    deleted = t.expire_snapshots(keep_last=2)  # retain only cut+tail... last 2 commits
+    assert deleted  # the pre-overwrite append dirs are gone from disk
+    n_dirs_after = len(os.listdir(os.path.join(t.path, "data")))
+    assert n_dirs_after < n_dirs_before
+
+    # latest read unaffected
+    rows = sorted((r.host, r.url) for r in t.read().collect())
+    assert rows == [("h100.edu", "u100"), ("h99.edu", "u99")]
+    # retained time travel works; expired raises
+    assert sorted(r.url for r in t.read(tag="tail").collect()) == ["u100", "u99"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="expired"):
+        t.read(snapshot_id=ids[0])
+    with _pytest.raises(KeyError, match="expired"):
+        t.read(tag="s0")
+    # a reloaded handle enforces the same horizon (persisted in the log)
+    t2 = SnapshotTable(spark, t.path)
+    with _pytest.raises(KeyError, match="expired"):
+        t2.read(tag="s2")
