@@ -167,24 +167,33 @@ def lsh_near_dup_pairs(
     (:func:`check_bucket_load`)."""
     if n_planes is None:
         n_planes = planes_for_corpus(emb.count())
-    cands = None
+    # ALL tables' buckets from ONE corpus scan (struct array + explode),
+    # candidates from ONE self-join keyed (table, bucket) — the same
+    # shape as minhash banding. The previous per-table loop scanned the
+    # corpus and shuffled once PER table; the pair set is identical
+    # (union-of-per-table-joins == join-on-(t,bucket), both distinct'd).
+    table_buckets = []
     for t in range(n_tables):
         planes = [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
-        bucketed = emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            lsh_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+        table_buckets.append(
+            F.struct(F.lit(t).alias("t"), lsh_bucket_col(F.col(vec_col), planes).alias("bkt"))
         )
-        if max_bucket_rows is not None:
-            check_bucket_load(bucketed, "_bucket", max_bucket_rows)
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pairs_t = (
-            a.join(b, F.col("a._bucket") == F.col("b._bucket"))
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    buckets = emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*table_buckets)).alias("b")
+    ).select("id", "b.t", "b.bkt")
+    if max_bucket_rows is not None:
+        check_bucket_load(
+            buckets.select(F.concat_ws(":", "t", "bkt").alias("_bucket")),
+            "_bucket",
+            max_bucket_rows,
         )
-        cands = pairs_t if cands is None else cands.unionByName(pairs_t)
-    cands = cands.distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
     # norms are per-VECTOR: compute once before the pair join so each
     # candidate pair costs one dot-product aggregate, not three (the
