@@ -5,12 +5,15 @@ Media in the crawl appear as span rows with ``kind='media'`` and a
 src — scraper schema 'attribute' type). A training pipeline needs the
 bytes themselves plus decode/feature stages. The Spark-side plumbing —
 schema, Arrow batch shape, partitioning, ``mapInPandas`` signatures — is
-real and tested, and so is one codec: ``decode_bmp``, a pure-Python/numpy
-decoder for uncompressed 24-bit BMP (the synthetic media table emits real
-BMP payloads). The ``decode_fn`` hook stays injectable:
+real and tested, and so are two codecs — both pure Python/numpy, no
+external libs: ``decode_bmp`` (uncompressed 24-bit BMP; the synthetic
+media table emits real BMPs, and ``resize_media`` thumbnails them) and
+``decode_wav`` (PCM 16-bit mono RIFF/WAVE; ``synth_audio_table`` emits
+real tones with assertable spectral features). The ``decode_fn`` hook
+stays injectable:
 
-* default ``decode_bmp`` parses real bytes and dead-letters corrupt or
-  unsupported payloads,
+* default ``decode_media`` dispatches by media_type (image→BMP,
+  audio→WAV) and dead-letters corrupt or unsupported payloads,
 * ``fake_decode`` is the codec-free deterministic stand-in (md5-derived
   pseudo-features),
 * ``strict_decode`` raises NotImplementedError — swap in a full decoder
@@ -142,6 +145,111 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM 16-bit mono. ``samples``: int16."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """(int16 samples, sample_rate) from a PCM 16-bit mono RIFF/WAVE."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + clen > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, channels={channels}, bits={bits})"
+        )
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+def decode_wav(payload: bytes, media_type: str = "audio") -> np.ndarray:
+    """Pure-Python/numpy decoder for PCM 16-bit mono WAV → 8-dim feature
+    [duration_s, rms, zero-crossing rate, peak, mean |x|, p10, p90,
+    dominant_freq/nyquist]. Raises (→ dead-letter) on bad magic,
+    truncated chunks, or unsupported format/channels/bits."""
+    samples, sr = _decode_wav_samples(payload)
+    if len(samples) == 0:
+        raise ValueError("empty WAV data chunk")
+    x = samples.astype(np.float64) / 32768.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    dom = float(np.argmax(spec)) / max(len(spec) - 1, 1)  # fraction of Nyquist
+    return np.array(
+        [
+            len(x) / sr,
+            float(np.sqrt(np.mean(x * x))),
+            zc,
+            float(np.max(np.abs(x))),
+            float(np.mean(np.abs(x))),
+            float(np.percentile(x, 10)),
+            float(np.percentile(x, 90)),
+            dom,
+        ],
+        dtype=np.float32,
+    )
+
+
+def synth_audio_table(spark, n: int = 20, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic real WAV rows: tone frequency/duration are pure
+    functions of the ref's crc32 (a sine plus a small deterministic
+    chirp), so decode features are reproducible and assertable."""
+    refs = [f"aud://h.edu/{i}.wav" for i in range(n)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in MEDIA_SCHEMA.fieldNames()}
+            for ref in pdf["media_ref"]:
+                c = zlib.crc32(ref.encode())
+                freq = 100 + (c % 1500)
+                dur = 0.1 + ((c >> 8) % 5) * 0.05
+                t = np.arange(int(sample_rate * dur)) / sample_rate
+                wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.01 * np.sin(
+                    2 * np.pi * (freq * 2.5) * t
+                )
+                samples = (wave * 32767).astype(np.int16)
+                out["media_ref"].append(ref)
+                out["doc_id"].append(None)
+                out["media_type"].append("audio")
+                out["payload"].append(encode_wav(samples, sample_rate))
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_s"].append(float(len(samples)) / sample_rate)
+            yield pd.DataFrame(out)
+
+    return spark.createDataFrame([(r,) for r in refs], "media_ref string").mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Type-dispatching default decoder: image → BMP, audio → WAV —
+    both real pure-numpy codecs; anything else dead-letters via
+    strict_decode's error (inject a full decoder for compressed
+    formats)."""
+    if media_type == "image":
+        return decode_bmp(payload, media_type)
+    if media_type == "audio":
+        return decode_wav(payload, media_type)
+    return strict_decode(payload, media_type)
+
+
 def fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic 8-dim pseudo-feature from the payload bytes."""
     h = hashlib.md5(payload).digest()
@@ -241,7 +349,7 @@ def resize_media(
 
 def extract_features(
     media: DataFrame,
-    decode_fn: Callable[[bytes, str], np.ndarray] = decode_bmp,
+    decode_fn: Callable[[bytes, str], np.ndarray] = decode_media,
     partitions: int | None = None,
 ) -> DataFrame:
     """Decode + featurize via mapInPandas; per-row failures become error

@@ -153,3 +153,70 @@ def test_resize_media_preserves_constant_color(spark):
     assert abs(feat[3] - 60 / 255) < 1e-6
     assert abs(feat[4] - 30 / 255) < 1e-6
     assert not got["bad"].decode_ok and got["bad"].payload is None
+
+
+# -- real WAV codec (PCM 16-bit mono, pure Python/numpy) ----------------------
+
+
+def test_wav_roundtrip_known_tone():
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import decode_wav, encode_wav
+
+    sr, freq, dur = 8000, 440.0, 0.25
+    t = np.arange(int(sr * dur)) / sr
+    samples = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    feat = decode_wav(encode_wav(samples, sr))
+    assert len(feat) == 8
+    assert abs(feat[0] - dur) < 1e-3                     # duration
+    assert abs(feat[1] - 0.5 / np.sqrt(2)) < 0.01        # sine rms = A/sqrt(2)
+    assert abs(feat[7] - freq / (sr / 2)) < 0.01         # dominant freq fraction
+    assert 0.45 < feat[3] <= 0.51                        # peak ~ amplitude
+
+
+def test_wav_corrupt_and_unsupported_raise():
+    import numpy as np
+    import struct
+
+    from course_scraper_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(100, dtype=np.int16) + 5, 8000)
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:50])
+    # stereo fmt chunk -> unsupported
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 12 + 8 + 2, 2)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(stereo))
+
+
+def test_synth_audio_default_decode(spark):
+    from course_scraper_spark.operators.multimodal import extract_features, synth_audio_table
+
+    media = synth_audio_table(spark, n=12)
+    rows = media.collect()
+    assert all(bytes(r.payload[:4]) == b"RIFF" for r in rows)
+    out = {r.media_ref: r for r in extract_features(media).collect()}
+    assert len(out) == 12 and all(r.decode_ok for r in out.values())
+    # decoded duration matches the metadata the generator recorded
+    meta = {r.media_ref: r.duration_s for r in rows}
+    for ref, r in out.items():
+        assert abs(r.feature[0] - meta[ref]) < 1e-3
+
+
+def test_decode_media_dispatch(spark):
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_wav,
+    )
+
+    img = decode_media(encode_bmp(4, 4, np.full((4, 4, 3), 7, dtype=np.uint8)), "image")
+    aud = decode_media(encode_wav(np.zeros(80, dtype=np.int16) + 3, 8000), "audio")
+    assert len(img) == 8 and len(aud) == 8
+    with pytest.raises(NotImplementedError):
+        decode_media(b"whatever", "video")
