@@ -75,3 +75,33 @@ def test_salted_repartition_single_shuffle(spark):
     repartitions = re.findall(r"REPARTITION_BY_NUM", plan)
     assert len(repartitions) == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_fused_fetch_is_single_python_stage(spark, spec, pages):
+    """The fusion contract: fetch_extract_http is ONE MapInPandas node —
+    page html never crosses the Arrow boundary — while the two-step form
+    pays two Python stages with the html column between them."""
+    from course_scraper_spark.operators.fetch import fetch_extract_http, fetch_http
+    from course_scraper_spark.operators.frontier import _LINKS_SCHEMA, _extract_links
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    wave = (
+        pages.select("url")
+        .withColumn("source_id", F.lit("s"))
+        .withColumn("seq", F.monotonically_increasing_id())
+        .withColumn("depth", F.lit(0))
+        .withColumn("is_mc", F.col("url").contains("mc-catalog"))
+    )
+    factory = spec_transport_factory(spec)
+    fused_plan = audit.plan_string(fetch_extract_http(wave, factory, sleep_fn=None), "simple")
+    assert fused_plan.count("MapInPandas") == 1, fused_plan
+    two_step = (
+        fetch_http(wave, factory, sleep_fn=None)
+        .filter(F.col("ok"))
+        .select(
+            "source_id", F.col("url").alias("page_url"), F.col("seq").alias("parent_seq"),
+            "depth", "html", "is_mc",
+        )
+        .mapInPandas(_extract_links, _LINKS_SCHEMA)
+    )
+    assert audit.plan_string(two_step, "simple").count("MapInPandas") == 2
