@@ -47,6 +47,24 @@ SIDECAR_SCHEMA = T.StructType(
 )
 
 
+def buckets_for_corpus(
+    n_candidates: int, target_rows_per_bucket: int = 10_000_000, min_buckets: int = 64
+) -> int:
+    """Sidecar bucket count sized to the probe volume.
+
+    The cogrouped probe materializes ONE bucket's candidate rows as a
+    single pandas frame per task, so the per-group memory bound is
+    candidates/n_buckets. A fixed n_buckets silently grows that bound
+    with the corpus; deriving it keeps ~target_rows_per_bucket slim rows
+    (≲1 GB) per task at any scale — 10^10 candidates ⇒ 1024 buckets.
+    Same derive-don't-fix discipline as similarity.planes_for_corpus."""
+    import math
+
+    if n_candidates <= 0:
+        return min_buckets
+    return max(min_buckets, 1 << math.ceil(math.log2(max(n_candidates / target_rows_per_bucket, 1.0))))
+
+
 def _mix(h: np.ndarray) -> np.ndarray:
     """splitmix64-style second hash derived from the 64-bit key."""
     z = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)

@@ -76,3 +76,14 @@ def test_compact_folds_mixed_sizes_no_false_negatives(spark):
     fresh = spark.createDataFrame([("s", f"w{i}") for i in range(5000)], ["source_id", "url"])
     fp = probe(fresh, folded, n_buckets=4).filter("maybe_seen").count() / 5000
     assert fp < 0.2, fp
+
+
+def test_buckets_for_corpus_scales():
+    from course_scraper_spark.operators.bloom import buckets_for_corpus
+
+    assert buckets_for_corpus(1_000_000) == 64          # floor
+    assert buckets_for_corpus(10 ** 10) == 1024          # 10^10/10M -> 2^10
+    assert buckets_for_corpus(10 ** 11) > buckets_for_corpus(10 ** 10)
+    # power of two (aligns with the splitmix-remixed internal hashing)
+    n = buckets_for_corpus(3 * 10 ** 9)
+    assert n & (n - 1) == 0
