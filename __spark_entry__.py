@@ -33,9 +33,15 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  embedding cosine (LSH)    q_embedding_neardup_lsh
   ANN    brute-force top-k         q_ann_topk
   ANN    LSH-bucketed top-k        q_ann_lsh_topk
+  ANN    IVF (k-means lists)       q_ivf_topk
   text   token/quality stats       q_token_stats
   text   language id               q_lang_id
   text   fingerprint               q_fingerprint
+  dedup  simhash 64-bit            q_simhash64
+  dedup  simhash64 near-pairs      q_simhash64_pairs
+  dedup  cluster formation (CC)    q_dup_clusters
+  S7/F   robots Disallow filter    q_robots_disallow
+(34 queries, every one with a hash-exact DuckDB oracle)
 """
 
 from __future__ import annotations

@@ -220,10 +220,17 @@ def dedup_with_bloom(
     url_col: str = "url",
     n_buckets: int = 64,
     kind: str = "bloom",
+    anti_join_fn=None,
 ) -> DataFrame:
-    """Exact new-URL set; the filter only shrinks the anti-join's left side."""
+    """Exact new-URL set; the filter only shrinks the anti-join's left
+    side. ``anti_join_fn`` (e.g. ``PartitionedSeenStore.anti_join``)
+    replaces the union-seen anti-join for the bloom-positive suspects so
+    the exact verify also avoids reshuffling the seen side."""
     probed = probe(candidates, sidecar, url_col=url_col, n_buckets=n_buckets, kind=kind)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = suspects.join(seen.select(*keys), keys, "left_anti")
+    if anti_join_fn is not None:
+        confirmed_new = anti_join_fn(suspects)
+    else:
+        confirmed_new = suspects.join(seen.select(*keys), keys, "left_anti")
     return definitely_new.unionByName(confirmed_new)

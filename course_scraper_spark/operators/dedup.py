@@ -248,10 +248,17 @@ def minhash_signatures_rowwise(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = 16, bands: int = 4
+    signatures: DataFrame, k: int = 16, bands: int = 4,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Band the signature into ``bands`` groups of k/bands rows; docs
-    sharing any band bucket become candidate pairs (doc_a < doc_b)."""
+    sharing any band bucket become candidate pairs (doc_a < doc_b).
+
+    ``max_bucket_rows`` turns on the loud saturation guard
+    (``similarity.check_bucket_load``): per-bucket pair space is rows²,
+    so a silently-hot band bucket (near-constant signatures — e.g. a
+    corpus of templated boilerplate) is the quadratic failure mode of
+    every banding join. One cheap count-agg over the bucket keys."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -262,6 +269,14 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_rows is not None:
+        from .similarity import check_bucket_load
+
+        check_bucket_load(
+            buckets.select(F.concat_ws(":", "band", "bucket").alias("_bucket")),
+            "_bucket",
+            max_bucket_rows,
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
@@ -396,7 +411,8 @@ def simhash_pandas(
 
 
 def simhash_near_pairs(
-    sig_df: DataFrame, max_hamming: int = 3, n_blocks: int = 4, bits: int = 32
+    sig_df: DataFrame, max_hamming: int = 3, n_blocks: int = 4, bits: int = 32,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over the ``bits``-bit signature.
 
@@ -416,7 +432,10 @@ def simhash_near_pairs(
     buckets/band and bucket cardinality keeps growing with the corpus
     (tests/test_dedup_ops.py pins this). Arithmetic shiftright's sign
     extension on negative 64-bit signatures is removed by the block
-    mask."""
+    mask. ``max_bucket_rows`` turns on the loud saturation guard
+    (``similarity.check_bucket_load``) over the (band, block) bucket
+    keys — a saturated 32-bit banding then raises instead of silently
+    going quadratic."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"banding needs n_blocks > max_hamming for exact recall "
@@ -436,6 +455,14 @@ def simhash_near_pairs(
     blocks = parts[0]
     for p in parts[1:]:
         blocks = blocks.unionByName(p)
+    if max_bucket_rows is not None:
+        from .similarity import check_bucket_load
+
+        check_bucket_load(
+            blocks.select(F.concat_ws(":", "band", "blk").alias("_bucket")),
+            "_bucket",
+            max_bucket_rows,
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.blk") == F.col("b.blk")))
@@ -460,32 +487,52 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 30,
     driver_edge_threshold: int = 2_000_000,
+    method: str = "auto",
 ) -> DataFrame:
     """(node, comp) — comp = the smallest node id reachable from node.
 
-    Adaptive, like the two-phase ranking: below
+    ``method='auto'`` is adaptive, like the two-phase ranking: below
     ``driver_edge_threshold`` edges the graph collects to the driver and
     a path-compressed union-find answers in one pass (2M edges ≈ ~32 MB
     — an iterative Spark loop on a graph that small is pure per-round
     job overhead, measured 6.8 s for 83k edges vs <1 s union-find).
-    Above the threshold: distributed min-label propagation — every node
-    starts labeled with itself; each round a node takes the min of its
-    own and its neighbors' labels; fixpoint in O(graph diameter) rounds
-    (near-dup graphs are unions of small dense clusters, diameter 2-4).
-    The per-round delta is localCheckpointed so the iterative plan stays
-    flat; each round is one join + one min-agg, both shuffle-on-node-id.
-    For adversarially long chains at the 100 TB target swap in
-    star-contraction (Kiveris et al., "Connected Components in
-    MapReduce") — same API, no caller changes. Raises if max_iter rounds
-    don't converge — never returns a partially-propagated labeling."""
+    Above the threshold: alternating star-contraction
+    (:func:`connected_components_star`, Kiveris et al.) — O(log n)
+    rounds regardless of graph diameter. ``method`` pins a specific
+    branch: ``'union_find'``, ``'star'``, or ``'label_prop'`` (min-label
+    propagation, O(diameter) rounds — kept as the equality baseline and
+    for known-shallow near-dup graphs where its per-round plan is
+    slightly cheaper). Every branch raises rather than return a
+    partially-converged labeling."""
     # materialize the pair pipeline ONCE: the branch decision (count),
     # the union-find collect and the edge build all read these rows —
     # without the checkpoint the upstream candidate/verify pipeline
     # would re-run per consumer (measured 2x the whole query cost)
     pairs = pairs.localCheckpoint(eager=True)
-    n_edges = pairs.count()
-    if n_edges <= driver_edge_threshold:
+    if method == "auto":
+        method = (
+            "union_find" if pairs.count() <= driver_edge_threshold else "star"
+        )
+    if method == "union_find":
         return _cc_union_find(pairs, a_col, b_col)
+    if method == "star":
+        return connected_components_star(pairs, a_col, b_col, max_iter)
+    if method != "label_prop":
+        raise ValueError(f"unknown connected-components method: {method!r}")
+    return _cc_label_propagation(pairs, a_col, b_col, max_iter)
+
+
+def _cc_label_propagation(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
+    """Distributed min-label propagation: every node starts labeled with
+    itself; each round a node takes the min of its own and its
+    neighbors' labels; fixpoint in O(graph diameter) rounds (near-dup
+    graphs are unions of small dense clusters, diameter 2-4 — but an
+    adversarial long chain needs diameter rounds; use
+    :func:`connected_components_star` there). The per-round delta is
+    localCheckpointed so the iterative plan stays flat; each round is
+    one join + one min-agg, both shuffle-on-node-id."""
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -515,6 +562,85 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating star-contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", alternating large-star /
+    small-star): converges in O(log n) ROUNDS independent of graph
+    diameter — the large-graph branch of :func:`connected_components`,
+    where min-label propagation's O(diameter) rounds would grind on an
+    adversarial long-chain component at 10^10 docs.
+
+    Each round is two grouped min-aggregations + joins, all
+    shuffle-on-node-id; the edge set is localCheckpointed per round so
+    the iterative plan stays flat. Edges are kept in strictly-decreasing
+    (src > dst) canonical form:
+
+    * large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+      v > u — hooks every larger neighbor to the neighborhood minimum.
+    * small-star(u): over the decreasing edges into u, m = min(Γ⁻(u));
+      emit (u, m) and (v, m) for v ∈ Γ⁻(u) \\ {m}.
+
+    At the fixpoint (edge set unchanged) the edges form stars whose
+    center is the component minimum: labels are exactly the edges plus
+    (root, root) rows. Raises if ``max_iter`` rounds don't converge."""
+    node_type = pairs.schema[a_col].dataType.simpleString()
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("src"),
+            F.least(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    if not edges.head(1):
+        return spark.createDataFrame([], f"node {node_type}, comp {node_type}")
+    for _ in range(max_iter):
+        # -- large-star over symmetric neighborhoods
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nbr_min = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("mn")
+        )
+        large = (
+            sym.join(nbr_min, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star over the decreasing edges
+        mn2 = large.groupBy("src").agg(F.min("dst").alias("mn"))
+        small = (
+            large.join(mn2, "src")
+            .where(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(mn2.select(F.col("src"), F.col("mn").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = small.count() == edges.count() and small.exceptAll(edges).isEmpty()
+        edges = small
+        if converged:
+            labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+            roots = (
+                edges.select(F.col("dst").alias("node"))
+                .distinct()
+                .withColumn("comp", F.col("node"))
+            )
+            return labels.unionByName(roots).distinct()
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
 
 
 def _cc_union_find(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -552,6 +678,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    cc_method: str = "auto",
 ) -> DataFrame:
     """The dedup KEEP-LIST: (doc_id, cluster_id, is_canonical).
 
@@ -560,12 +687,42 @@ def dup_clusters(
     pair). cluster_id = min doc id in the component; the canonical doc
     (the one a training pipeline keeps) is the cluster minimum; docs in
     no pair are their own singleton cluster."""
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(pairs, a_col, b_col, method=cc_method)
     ids = all_ids.select(F.col(id_col).alias("doc_id")).distinct()
     out = ids.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
     )
     return out.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+def simhash_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_rows: int | None = None,
+    cc_method: str = "auto",
+) -> DataFrame:
+    """SCALE-DEFAULT cluster formation: simhash near-pairs → transitive
+    closure → keep-list, in one call.
+
+    Defaults are the 100 TB configuration — 64-bit signatures with
+    16-bit blocks (Manku et al.; 32-bit banding saturates at 256
+    buckets/band, see :func:`simhash_near_pairs`) and the adaptive
+    connected-components branch (star-contraction above the driver
+    threshold — O(log n) rounds even for adversarial-diameter
+    components). The oracle query q_dup_clusters pins the 32-bit
+    configuration explicitly for its DuckDB mirror; production cluster
+    formation goes through THIS entry point. Pass ``max_bucket_rows`` to
+    get the loud banding saturation guard."""
+    sigs = simhash_pandas(df, text_col, id_col, bits=bits)
+    pairs = simhash_near_pairs(
+        sigs, max_hamming=max_hamming, n_blocks=n_blocks, bits=bits,
+        max_bucket_rows=max_bucket_rows,
+    )
+    return dup_clusters(df, pairs, id_col=id_col, cc_method=cc_method)
 
 
 def embedding_near_dup(

@@ -10,16 +10,23 @@ ladder over the wave DataFrame instead of an asyncio loop:
 * the transport is created ONCE per partition (``transport_factory()``
   inside ``mapInPandas`` before the batch loop) — the distributed twin of
   the reference's shared httpx session;
-* retry sleeps go through an injectable ``sleep_fn`` (real deployments
-  keep ``time.sleep``; tests/bench inject a no-op since the synthetic
-  transport's outcomes are deterministic);
+* retry sleeps go through an injectable ``sleep_fn`` — the DEFAULT is
+  real ``time.sleep`` (production ``fetch='http'`` backs off against
+  rate-limiting hosts without the caller opting in); tests/bench pass
+  the explicit :data:`NO_SLEEP` sentinel since the synthetic
+  transports' outcomes are deterministic;
 * jitter is derived from ``crc32(url|attempt)`` — deterministic, so the
   schedule (and any test asserting on it) is reproducible, unlike the
   reference's ``random()``;
 * hard 404s skip the retry loop and go straight to the render branch
   (retrying a 404 never helps); 403/429 retry first (they are often
-  rate-limits), 5xx and connection errors retry but have no render
-  branch.
+  rate-limits); 5xx retry but have no render branch; connection errors
+  (status ``None``) retry and THEN take the render branch — a
+  documented deviation from the reference, which falls back to
+  Playwright immediately on ``httpx.RequestError``
+  (render_utils.py:71-74): transient network errors are worth retrying
+  before paying for a browser render, and pages recoverable only via
+  dynamic render still get their render attempt at the end.
 
 Exactness contract: for a transport serving the synthetic world
 (``world_transport_factory``), the ladder's success set, html bytes and
@@ -46,7 +53,16 @@ BASE_BACKOFF_S = 1.0     # 1 -> 2 -> 4 -> 8 -> 16 s doubling
 USER_AGENT = "course-scraper-spark/0.3 (+crawl; respectful)"
 
 RETRYABLE = frozenset({403, 429})        # rate-limit-ish: retry, then render
-RENDER_FALLBACK = frozenset({403, 404, 429})  # statuses with a render branch
+# Statuses with a render branch. None = connection error: the reference
+# renders immediately on httpx.RequestError; we retry first, then render
+# (see module docstring).
+RENDER_FALLBACK = frozenset({403, 404, 429, None})
+
+
+def NO_SLEEP(_s: float) -> None:
+    """Explicit no-backoff sentinel for tests/bench over deterministic
+    synthetic transports (retrying later changes nothing there). The
+    default ``sleep_fn=None`` resolves to real ``time.sleep``."""
 
 
 @dataclass
@@ -143,10 +159,12 @@ def run_ladder(
 
     The render_utils.py ladder, per URL: GET; success below 400; 404 goes
     straight to render; 403/429/5xx/connection errors retry with
-    exponential backoff + jitter; after retries, 403/404/429 try the
-    dynamic-render branch. ``sleep_fn=None`` skips the waits (synthetic
-    transports are deterministic — retrying later changes nothing)."""
-    sleep = sleep_fn or (lambda s: None)
+    exponential backoff + jitter; after retries, 403/404/429 and
+    connection errors try the dynamic-render branch. ``sleep_fn=None``
+    (the default) backs off with real ``time.sleep`` — pass
+    :data:`NO_SLEEP` for deterministic synthetic transports where
+    retrying later changes nothing."""
+    sleep = time.sleep if sleep_fn is None else sleep_fn
     attempts = 0
     r = FetchResponse(None, None, None)
     for i in range(max_retries + 1):
@@ -212,6 +230,13 @@ def fetch_http(
     return wave.mapInPandas(run, out_schema)
 
 
+# Marker stream for the in-band per-host fetch aggregates the fused
+# operator emits when with_stats=True. In-band beats a Spark accumulator:
+# accumulator updates from transformations can double-count on task
+# retries, while rows are exactly-once with the rest of the result.
+FETCH_STATS_STREAM = "__fetch_stats__"
+
+
 def fetch_extract_http(
     wave: DataFrame,
     transport_factory: Callable[[], object],
@@ -219,6 +244,7 @@ def fetch_extract_http(
     sleep_fn: Callable[[float], None] | None = None,
     max_retries: int = MAX_RETRIES,
     base_backoff_s: float = BASE_BACKOFF_S,
+    with_stats: bool = False,
 ) -> DataFrame:
     """FUSED fetch + link extraction: the ladder and the href parser run
     in the same Python worker, so page HTML never crosses the Arrow
@@ -234,8 +260,19 @@ def fetch_extract_http(
     ``fetch_http(...).filter(ok)`` + extract (equality-tested).
 
     Input columns: (source_id, url, seq, depth, is_mc, ...); output is
-    the crawl loop's links schema. Use the two-step form when per-URL
-    fetch stats must be recorded (metrics path)."""
+    the crawl loop's links schema.
+
+    ``with_stats=True`` (requires a ``host`` input column) additionally
+    emits ONE aggregate row per (source_id, host) per Arrow batch with
+    ``stream=FETCH_STATS_STREAM``, packing the per-host fetch counters
+    into the existing columns (page_url=host, parent_seq=n_urls,
+    parent_depth=n_fetch_ok, link_pos=n_failed, href=str(n_attempts)) —
+    so the production fused path feeds ``partition_metrics`` without
+    un-fusing into fetch_http + extract (HTML still never crosses
+    Arrow). Callers split them back out with :func:`split_fused_output`;
+    per-host totals equal the two-step path's exactly
+    (tests/test_fetch_http.py). Use the two-step form only when per-URL
+    rows (status/mode/html per URL) must be recorded."""
     from ..functions.htmlmini import extract_hrefs, extract_mc_listing_hrefs
 
     cols = ("source_id", "page_url", "parent_seq", "parent_depth", "link_pos", "stream", "href")
@@ -243,17 +280,26 @@ def fetch_extract_http(
         "source_id string, page_url string, parent_seq long, parent_depth int, "
         "link_pos int, stream string, href string"
     )
+    if with_stats and "host" not in wave.columns:
+        raise ValueError("with_stats=True requires a 'host' column on the wave")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()  # once per partition: session reuse
         for pdf in batches:
             out = {k: [] for k in cols}
-            for sid, url, seq, dep, is_mc in zip(
-                pdf["source_id"], pdf[url_col], pdf["seq"], pdf["depth"], pdf["is_mc"]
+            stats: dict = {}
+            hosts = pdf["host"] if with_stats else pdf[url_col]  # placeholder iter
+            for sid, url, seq, dep, is_mc, host in zip(
+                pdf["source_id"], pdf[url_col], pdf["seq"], pdf["depth"], pdf["is_mc"], hosts
             ):
-                ok, _status, _mode, html, _attempts = run_ladder(
+                ok, _status, _mode, html, attempts = run_ladder(
                     transport, url, sleep_fn, max_retries, base_backoff_s
                 )
+                if with_stats:
+                    s = stats.setdefault((sid, host), [0, 0, 0])
+                    s[0] += 1
+                    s[1] += int(ok)
+                    s[2] += attempts
                 if not ok:
                     continue  # dead fetch: stays in seen, yields no links
                 for pos, href in enumerate(extract_hrefs(html)):
@@ -273,9 +319,41 @@ def fetch_extract_http(
                         out["link_pos"].append(pos)
                         out["stream"].append("mc_listing")
                         out["href"].append(href)
+            if with_stats:
+                for (sid, host), (n_urls, n_ok, n_att) in sorted(stats.items()):
+                    out["source_id"].append(sid)
+                    out["page_url"].append(host)
+                    out["parent_seq"].append(n_urls)
+                    out["parent_depth"].append(n_ok)
+                    out["link_pos"].append(n_urls - n_ok)
+                    out["stream"].append(FETCH_STATS_STREAM)
+                    out["href"].append(str(n_att))
             yield pd.DataFrame(out)
 
     return wave.mapInPandas(run, schema)
+
+
+def split_fused_output(fused: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a ``fetch_extract_http(..., with_stats=True)`` result into
+    (link rows, per-host fetch stats). The stats side unpacks the
+    column-reuse encoding and sums the per-batch aggregates into the
+    ``fetch_stats_per_host`` shape — (source_id, host, n_urls,
+    n_fetch_ok, n_failed, n_attempts) — ready for
+    ``MetricsStore.record_wave``. PERSIST the fused DataFrame before
+    splitting: both halves are consumed, and without a persist the
+    ladder would fetch every URL twice."""
+    links = fused.filter(F.col("stream") != FETCH_STATS_STREAM)
+    stats = (
+        fused.filter(F.col("stream") == FETCH_STATS_STREAM)
+        .groupBy("source_id", F.col("page_url").alias("host"))
+        .agg(
+            F.sum("parent_seq").alias("n_urls"),
+            F.sum("parent_depth").cast("long").alias("n_fetch_ok"),
+            F.sum("link_pos").cast("long").alias("n_failed"),
+            F.sum(F.col("href").cast("long")).alias("n_attempts"),
+        )
+    )
+    return links, stats
 
 
 def http_root_probe(spark, root_urls: list[str], transport_factory) -> DataFrame:
@@ -307,14 +385,14 @@ def attempts_col(max_retries: int = MAX_RETRIES) -> F.Column:
     both fetch modes report identical per-host attempt totals.
 
     200s: 1. 404: 2 (GET + render). 403/429: retries exhausted + render =
-    max_retries+2. 5xx / connection error (null status): max_retries+1,
-    no render branch."""
+    max_retries+2. Connection error (null status): retries exhausted +
+    render = max_retries+2. 5xx: max_retries+1, no render branch."""
     s = F.col("status_code")
     return (
-        F.when(s.isNull(), F.lit(max_retries + 1))
+        F.when(s.isNull(), F.lit(max_retries + 2))
         .when(s < 400, F.lit(1))
         .when(s == 404, F.lit(2))
-        .when(s.isin(*sorted(RETRYABLE)), F.lit(max_retries + 2))
+        .when(s.isin(403, 429), F.lit(max_retries + 2))
         .otherwise(F.lit(max_retries + 1))
         .cast("int")
     )

@@ -258,6 +258,15 @@ def fetch_ok_col() -> F.Column:
 # shares the code path, so the guard is enforced (tests/test_plan_audit.py).
 BROADCAST_WAVE_THRESHOLD = 1_000_000
 
+# 'auto' co-partitioned seen store kicks in above this many seen rows:
+# below it, per-wave delta repartition + chained joins cost more fixed
+# overhead than the seen reshuffle they avoid (measured +1.5-2.5 s/wave
+# at a 1.1k-URL world); above it, the per-wave reshuffle of the growing
+# seen side dominates and the store wins. The big-world scaling bench
+# (tools/scaling_bench.py, >=100k URLs) crosses it; the toy bench does
+# not.
+COPARTITION_SEEN_THRESHOLD = 50_000
+
 
 def _fetch_join(wave_slim: DataFrame, pages_slim: DataFrame, wave_rows: int | None,
                 broadcast_threshold: int) -> DataFrame:
@@ -300,6 +309,7 @@ def crawl_sources(
     fetch: str = "join",
     transport_factory=None,
     fetch_kwargs: dict | None = None,
+    copartition_seen: bool | str = "auto",
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
 
@@ -310,7 +320,7 @@ def crawl_sources(
     fetched sets for a transport serving the same world
     (tests/test_fetch_http.py). ``fetch_kwargs`` passes through to
     :func:`~course_scraper_spark.operators.fetch.fetch_http`
-    (e.g. ``{'sleep_fn': None}``).
+    (e.g. ``{'sleep_fn': NO_SLEEP}`` for synthetic transports; the default backs off with real time.sleep).
 
     With ``state_store`` (a :class:`~course_scraper_spark.storage.crawl_state
     .CrawlStateStore`) every wave commits its seen-set delta as a tagged
@@ -324,6 +334,13 @@ def crawl_sources(
     collected to the driver — and prefilters candidates before the exact
     anti-join. Identical results (the filters have no false negatives;
     positives hit the exact join), fewer anti-join probes.
+
+    ``copartition_seen``: route the seen anti-join through the
+    co-partitioned delta store (operators/seen_store.py) so the growing
+    seen side never reshuffles. ``'auto'`` (default) switches on above
+    ``COPARTITION_SEEN_THRESHOLD`` accumulated rows; ``True`` forces it
+    from wave 0 (equality tests); ``False`` disables. Results identical
+    either way (anti-join distributes over the delta union).
     """
     if fetch not in ("join", "http"):
         raise ValueError(f"fetch must be 'join' or 'http', got {fetch!r}")
@@ -342,6 +359,30 @@ def crawl_sources(
     pages_slim = pages.select(
         F.col("url").alias("p_url"), "host", "html", "status_code", "fetch_mode"
     )
+
+    # co-partitioned seen store (in-memory path only): per-wave deltas are
+    # hash-partitioned ONCE on the anti-join keys, so the growing seen
+    # side never reshuffles — the anti-join chains over the deltas and
+    # only the candidate side is exchanged (operators/seen_store.py).
+    # ADAPTIVE like the other thresholds in this engine (broadcast
+    # guards, CC branches): below COPARTITION_SEEN_THRESHOLD rows the
+    # per-wave fixed cost of delta repartition + chained joins exceeds
+    # the reshuffle it saves (measured: +1.5-2.5 s/wave at a 1.1k-URL
+    # world), so 'auto' switches the loop onto the store only once the
+    # accumulated seen crosses the threshold (the switch repartitions
+    # the current seen once, then deltas chain). The snapshot-store path
+    # reads seen back from storage instead; its co-partitioned form is
+    # the bucketed Iceberg table (storage/iceberg.py).
+    store = None
+    store_eligible = state_store is None and checkpoint and copartition_seen is not False
+
+    def _make_store():
+        from .seen_store import PartitionedSeenStore
+
+        return PartitionedSeenStore(spark, ("source_id", "url"), n_partitions=parts)
+
+    if store_eligible and copartition_seen is True:
+        store = _make_store()
 
     resumed = None
     if state_store is not None and resume:
@@ -366,11 +407,16 @@ def crawl_sources(
         if state_store is not None:
             state_store.save_wave(0, seen, seq_base)
             seen = state_store.read_seen()
+        elif store is not None:
+            seen = store.add_delta(seen)
+            wave = seen.drop("visited")
+            seen = store.union()
         elif checkpoint:
             seen = seen.localCheckpoint(eager=True)
             wave = seen.drop("visited")
     max_depth_overall = max(rt.source.crawl_depth for rt in runtimes)
     waves_run = 0
+    seen_rows_est = wave_rows  # tracks accumulated seen for the 'auto' switch
 
     bloom_key = F.concat_ws("|", F.col("source_id"), F.col("url"))
     filter_kind = use_filter or ("bloom" if use_bloom else None)
@@ -429,30 +475,23 @@ def crawl_sources(
         links_pre = None
         if fetch == "http":
             # live path: the HTTP ladder runs inside the UDF over the
-            # wave's partitioning — no join with a pages table exists
+            # wave's partitioning — no join with a pages table exists.
+            # Fused fetch+extract either way: page html never crosses
+            # Arrow. With metrics, the fused UDF emits in-band per-host
+            # aggregates (split back out below) so the production path
+            # feeds partition_metrics without un-fusing.
+            from .fetch import fetch_extract_http, split_fused_output
+
             if metrics_store is not None:
-                # two-step: per-URL fetch stats need the raw ladder rows
-                from .fetch import fetch_http
-                from .metrics import fetch_stats_from_http
-
-                # the raw fetch feeds both the stats agg and the link
-                # extraction — persist so the ladder runs once per URL
-                fetched_raw = fetch_http(
-                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                # persist: the stats append AND the link pipeline both
+                # consume the fused output — fetch each URL once
+                fetched_raw = fetch_extract_http(
+                    wave_slim, transport_factory, with_stats=True,
+                    **(fetch_kwargs or {}),
                 ).persist()
-                metrics_store.record_wave(run_id, depth, fetch_stats_from_http(fetched_raw))
-                fetched = fetched_raw.filter(F.col("ok")).select(
-                    "source_id",
-                    F.col("url").alias("page_url"),
-                    F.col("seq").alias("parent_seq"),
-                    "depth",
-                    "html",
-                    "is_mc",
-                )
+                links_pre, wave_stats = split_fused_output(fetched_raw)
+                metrics_store.record_wave(run_id, depth, wave_stats)
             else:
-                # fused fetch+extract: page html never crosses Arrow
-                from .fetch import fetch_extract_http
-
                 links_pre = fetch_extract_http(
                     wave_slim, transport_factory, **(fetch_kwargs or {})
                 )
@@ -510,7 +549,11 @@ def crawl_sources(
             )
             .select("source_id", F.col("full_url").alias("url"))
             .dropDuplicates(["source_id", "url"])
-            .join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            .transform(
+                lambda d: store.anti_join(d)
+                if store is not None
+                else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            )
             .select(
                 "source_id",
                 "url",
@@ -546,7 +589,10 @@ def crawl_sources(
                 url_col="_k",
                 n_buckets=bloom_buckets,
                 kind=filter_kind,
+                anti_join_fn=store.anti_join if store is not None else None,
             ).drop("_k")
+        elif store is not None:
+            new_urls = store.anti_join(queue_cand)
         else:
             new_urls = queue_cand.join(
                 seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
@@ -585,6 +631,19 @@ def crawl_sources(
             new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
 
         delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
+        seen_rows_est += n_new
+        if (
+            store is None
+            and store_eligible
+            and copartition_seen == "auto"
+            and seen_rows_est > COPARTITION_SEEN_THRESHOLD
+        ):
+            # 'auto' switch: seed the store with the accumulated seen
+            # (one repartition, once) — every later delta chains with
+            # zero reshuffles of the seen side
+            store = _make_store()
+            seen = store.add_delta(seen)
+            seen = store.union()
         if filter_kind is not None:
             sidecar = sidecar.unionByName(
                 _filter_builder(filter_kind)(
@@ -604,12 +663,20 @@ def crawl_sources(
             wave = seen.filter(F.col("visited") & (F.col("depth") == next_depth)).select(
                 "source_id", "url", "host", "depth", "seq"
             )
+        elif store is not None:
+            # the delta is partitioned on the anti-join keys ONCE, at
+            # birth (seen_store.add_delta) — the next waves' anti-joins
+            # chain over the checkpointed deltas with zero exchanges on
+            # the seen side. seen stays a union view of the deltas.
+            delta = store.add_delta(delta)
+            seen = store.union()
+            wave = delta.filter(F.col("visited")).select(
+                "source_id", "url", "host", "depth", "seq"
+            )
         else:
-            # checkpoint ONLY the delta: truncates its lineage to a leaf
-            # (the delta's plan references the previous seen, so without
-            # truncation the wave plans grow exponentially) while
-            # materializing just the new rows. seen stays a union of
-            # per-wave leaves — the in-memory analogue of snapshot appends.
+            # non-co-partitioned path: checkpoint ONLY the delta
+            # (truncates the iterative lineage to a leaf); with
+            # checkpoint=False (debug) seen stays a raw union of plans
             if checkpoint:
                 delta = delta.localCheckpoint(eager=True)
             seen = seen.unionByName(delta)
@@ -655,6 +722,7 @@ def crawl_sources_budgeted(
     transport_factory=None,
     fetch_kwargs: dict | None = None,
     readmit_min_depth: bool = True,
+    schedule_log: list | None = None,
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -687,6 +755,16 @@ def crawl_sources_budgeted(
     prefixes to the frontier (operators/robots.py; default off — the
     reference reads only crawl_delay). ``fetch='http'`` routes fetches
     through the live mapInPandas ladder (see :func:`crawl_sources`).
+
+    Per-host fetch spacing holds ACROSS rounds, not just within one:
+    ``politeness.next_round_offsets`` carries each host's cadence
+    remainder over the round boundary (and decays it through rounds the
+    host sits out entirely — the crawl_delay > budget regime), matching
+    the reference's serial sleep-after-every-fetch
+    (render_utils.py:58). ``schedule_log`` (test/debug introspection):
+    a list that receives ``(round, host, url, sched_time)`` per fetched
+    row — drives the spacing contract tests; leave None in production
+    (it collects the schedule to the driver every round).
     """
     if fetch not in ("join", "http"):
         raise ValueError(f"fetch must be 'join' or 'http', got {fetch!r}")
@@ -734,29 +812,64 @@ def crawl_sources_budgeted(
             # only the per-round deltas and lose the roots from seen
             state_store.save_round(0, seen, pending, seq_base)
 
-    from .politeness import split_by_budget, with_schedule
+    from .politeness import next_round_offsets, split_by_budget, with_schedule
 
     # depth-improvement overlay for min-depth re-admission; in-memory
     # only — after a resume it rebuilds from seen's first-discovery
     # depths (an already-applied improvement may re-trigger one redundant
     # refetch, never a wrong set)
     improvements: DataFrame | None = None
+    # per-host cadence carry-over: a host's last fetch near the round
+    # boundary pushes its first slot next round, so per-host spacing
+    # stays >= crawl_delay ACROSS rounds (render_utils.py:58 — the
+    # reference's serial sleep never resets between waves)
+    host_offsets: DataFrame | None = None
 
     while rounds < (max_rounds if max_rounds is not None else 10_000):
         rounds += 1
-        sched = with_schedule(pending, robots, robots_rows=robots_rows)  # slot by seq = priority
+        # slot by seq = priority; host_offsets carries last round's cadence
+        sched = with_schedule(
+            pending, robots, robots_rows=robots_rows, host_offsets=host_offsets
+        )
         now, deferred = split_by_budget(sched, round_budget_s)
-        now = now.drop("slot", "sched_time")
         if salt_hosts_threshold is not None:
             # the fetch stage runs over `now`'s own partitioning on a live
             # cluster — spread Zipf mega-hosts across salt shards first
             from .salting import salted_repartition
 
             now = salted_repartition(now, "host", threshold=salt_hosts_threshold, salt_col="url")
+        # checkpoint BEFORE dropping the schedule columns: the offsets agg
+        # and the fetch pipeline both read `now`, and the schedule must
+        # not recompute per consumer
         now = now.localCheckpoint(eager=True)
         n_now = now.count()
         if n_now == 0:
-            break
+            # Distinguish "done" from "idle": with cadence carry-over a
+            # round can fetch NOTHING while URLs still pend (every
+            # pending host owes more than one whole budget —
+            # crawl_delay > budget). The round still elapses, so offsets
+            # decay by one budget; they strictly decrease, so the loop
+            # always reaches a fetchable round or drains.
+            if host_offsets is None or not pending.head(1):
+                break
+            host_offsets = (
+                host_offsets.select(
+                    "host",
+                    F.greatest(F.lit(0.0), F.col("t0") - F.lit(round_budget_s)).alias("t0"),
+                )
+                .filter(F.col("t0") > 0)
+                .localCheckpoint(eager=True)
+            )
+            continue
+        host_offsets = next_round_offsets(
+            now, host_offsets, robots, round_budget_s, robots_rows
+        ).localCheckpoint(eager=True)
+        if schedule_log is not None:
+            schedule_log.extend(
+                (rounds, r.host, r.url, r.sched_time)
+                for r in now.select("host", "url", "sched_time").collect()
+            )
+        now = now.drop("slot", "sched_time")
         deferred = deferred.localCheckpoint(eager=True)
 
         if metrics_store is not None and fetch != "http":
@@ -778,25 +891,18 @@ def crawl_sources_budgeted(
         links_pre = None
         if fetch == "http":
             wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
+            # fused fetch+extract either way (html never crosses Arrow);
+            # with metrics the UDF emits in-band per-host aggregates
+            from .fetch import fetch_extract_http, split_fused_output
+
             if metrics_store is not None:
-                from .fetch import fetch_http
-                from .metrics import fetch_stats_from_http
-
-                fetched_raw = fetch_http(
-                    wave_slim, transport_factory, **(fetch_kwargs or {})
+                fetched_raw = fetch_extract_http(
+                    wave_slim, transport_factory, with_stats=True,
+                    **(fetch_kwargs or {}),
                 ).persist()
-                metrics_store.record_wave(run_id, rounds, fetch_stats_from_http(fetched_raw))
-                fetched = fetched_raw.filter(F.col("ok")).select(
-                    "source_id",
-                    F.col("url").alias("page_url"),
-                    F.col("seq").alias("parent_seq"),
-                    "depth",
-                    "html",
-                    "is_mc",
-                )
+                links_pre, round_stats = split_fused_output(fetched_raw)
+                metrics_store.record_wave(run_id, rounds, round_stats)
             else:
-                from .fetch import fetch_extract_http
-
                 links_pre = fetch_extract_http(
                     wave_slim, transport_factory, **(fetch_kwargs or {})
                 )

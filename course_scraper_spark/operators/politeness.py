@@ -33,11 +33,20 @@ def with_schedule(
     wave: DataFrame,
     robots: DataFrame | None = None,
     robots_rows: int | None = None,
+    host_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``slot`` (1-based per-host fetch ordinal) and ``sched_time``
     (seconds after wave start). ``robots``: (host, crawl_delay) — a
     per-host dim, broadcast only below ROBOTS_BROADCAST_THRESHOLD rows
     (pass ``robots_rows`` from the loop to skip the count job).
+
+    ``host_offsets``: (host, t0) cadence carry-over from the previous
+    round (:func:`next_round_offsets`) — the host's first slot this
+    round fires at ``t0`` instead of 0, so per-host fetch spacing stays
+    ≥ crawl_delay ACROSS round boundaries, not just within one round
+    (the reference sleeps crawl_delay after *every* fetch,
+    render_utils.py:58 — the serial cadence doesn't reset because a
+    wave ended).
 
     The slot rank routes through the adaptive two-phase ranking
     (operators/ranking.py): small waves take one per-host window; big
@@ -53,13 +62,18 @@ def with_schedule(
         )
     else:
         wave = wave.withColumn("crawl_delay", F.lit(None).cast("double"))
+    if host_offsets is not None:
+        wave = wave.join(host_offsets.select("host", "t0"), "host", "left")
+        offset = F.coalesce(F.col("t0"), F.lit(0.0))
+    else:
+        offset = F.lit(0.0)
     delay = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
     tiebreak = [c for c in ("source_id", "url") if c in wave.columns]
     ranked = assign_seq(wave, "host", ["seq", *tiebreak], seq_col="slot")
     return (
         ranked.withColumn("slot", F.col("slot").cast("int"))
-        .withColumn("sched_time", (F.col("slot") - 1) * delay)
-        .drop("crawl_delay")
+        .withColumn("sched_time", offset + (F.col("slot") - 1) * delay)
+        .drop("crawl_delay", "t0")
     )
 
 
@@ -73,6 +87,49 @@ def split_by_budget(
         "slot", "sched_time"
     )
     return now, deferred
+
+
+def next_round_offsets(
+    scheduled_now: DataFrame,
+    prev_offsets: DataFrame | None,
+    robots: DataFrame | None,
+    budget_s: float,
+    robots_rows: int | None = None,
+) -> DataFrame:
+    """(host, t0) cadence carry-over for the NEXT round.
+
+    A host whose last fetch this round fired at ``last_t`` owes the next
+    round an initial wait of ``max(0, last_t + crawl_delay - budget)``
+    — the next round starts ``budget`` seconds after this one, so only
+    the remainder of the delay crosses the boundary. A host that
+    fetched NOTHING this round (its pending offset exceeded the whole
+    budget — crawl_delay > budget regimes) decays its previous offset
+    by the budget instead. Hosts that owe nothing (t0=0) are dropped —
+    the offsets dim stays proportional to the hosts actually behind on
+    cadence, not the whole host universe."""
+    if robots is not None:
+        from .robots import robots_dim_side
+
+        delay_dim = robots_dim_side(robots.select("host", "crawl_delay"), robots_rows)
+    else:
+        delay_dim = None
+    last = scheduled_now.groupBy("host").agg(F.max("sched_time").alias("last_t"))
+    if delay_dim is not None:
+        last = last.join(delay_dim, "host", "left")
+    else:
+        last = last.withColumn("crawl_delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+    fresh = last.select(
+        "host",
+        F.greatest(F.lit(0.0), F.col("last_t") + delay - F.lit(budget_s)).alias("t0"),
+    )
+    if prev_offsets is not None:
+        decayed = (
+            prev_offsets.join(fresh.select("host"), "host", "left_anti")
+            .select("host", F.greatest(F.lit(0.0), F.col("t0") - F.lit(budget_s)).alias("t0"))
+        )
+        fresh = fresh.unionByName(decayed)
+    return fresh.filter(F.col("t0") > 0)
 
 
 def host_budget(robots: DataFrame | None, wave_seconds: float) -> DataFrame | None:

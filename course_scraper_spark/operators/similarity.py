@@ -229,18 +229,30 @@ def kmeans_centroids(
 
     Driver-side is the right altitude here — IVF list counts are small
     (n_lists ≤ 4096 documented bound; the sample is ≤ sample_size rows,
-    a few MB) while the ASSIGNMENT below stays distributed. Determinism:
-    the sample is the first ``sample_size`` rows by id order (not
-    takeSample's RNG), seeding is greedy farthest-point from sample row
-    0, and ties break to the lowest centroid index — same input ⇒ same
-    centroids. Farthest-point matters: consecutive-row seeds can all
-    land in one natural cluster (id order often correlates with
-    content), leaving Lloyd's stuck splitting it."""
+    a few MB) while the ASSIGNMENT below stays distributed. Determinism
+    WITHOUT bias: the sample is a hash-mod slice —
+    ``pmod(xxhash64(id), m) == 0`` with m sized so the expected hit
+    count ≈ sample_size — not takeSample's RNG (unreproducible) and not
+    first-N-by-id (id order often correlates with content, so a prefix
+    sample sees only the first natural clusters and farthest-point
+    seeding can't recover what the sample never contains;
+    tests/test_similarity.py pins the recall gap on a clustered
+    fixture). Same input ⇒ same hash hits ⇒ same centroids; seeding is
+    greedy farthest-point from the lowest-id sampled row, ties break to
+    the lowest centroid index."""
     import numpy as np
 
     if n_lists > 4096:
         raise ValueError(f"n_lists={n_lists} exceeds the driver-side k-means bound (4096)")
-    rows = emb.orderBy(id_col).limit(max(sample_size, n_lists)).select(vec_col).collect()
+    n_rows = emb.count()
+    target = max(sample_size, n_lists)
+    m = max(1, n_rows // target)
+    sampled = emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    # hard cap keeps the driver transfer bounded even when the hash-mod
+    # estimate overshoots; ordering by id makes the cap deterministic
+    rows = sampled.orderBy(id_col).limit(target).select(vec_col).collect()
+    if len(rows) < n_lists:  # tiny corpus or unlucky modulus: widen
+        rows = emb.orderBy(id_col).limit(target).select(vec_col).collect()
     X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
     # cosine k-means: operate on the unit sphere (spherical k-means)
     norms = np.linalg.norm(X, axis=1, keepdims=True)

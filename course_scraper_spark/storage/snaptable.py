@@ -246,7 +246,13 @@ class SnapshotTable:
                 if d not in live:
                     shutil.rmtree(os.path.join(data_root, d))
                     deleted.append(d)
-        self.props["min_snapshot_id"] = cutoff
+        # Never lower an existing floor: a later call with a larger
+        # keep_last must not re-admit snapshot ids whose data dirs were
+        # already deleted (reads would then fail with raw missing-file
+        # errors instead of the KeyError guard in read()).
+        self.props["min_snapshot_id"] = max(
+            int(self.props.get("min_snapshot_id", 0)), cutoff
+        )
         self._flush()
         return deleted
 

@@ -113,8 +113,10 @@ def streaming_politeness_slots(
     (operators/politeness.with_schedule), and the shape a long-running
     ingest deployment needs (a per-batch window would reset every
     micro-batch and burst past the host's rate ceiling). Rows within a
-    batch order by (discovered_at, url) — deterministic, like the batch
-    form's (seq, tiebreak)."""
+    micro-batch order by (discovered_at, url) across the WHOLE group —
+    the group's Arrow chunks are concatenated before sorting, so slot
+    assignment is globally deterministic even when a host group spans
+    multiple Arrow batches — like the batch form's (seq, tiebreak)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..functions import urls as U
@@ -131,7 +133,12 @@ def streaming_politeness_slots(
         host = key[0]
         (n,) = state.get if state.exists else (0,)
         delay = float(delays.get(host, default_delay))
-        for pdf in pdfs:
+        # Concatenate the group's Arrow chunks BEFORE sorting: a host
+        # group larger than one Arrow batch must still get one global
+        # (discovered_at, url) order, not chunk-local orders.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["discovered_at", "url"]).reset_index(drop=True)
             k = len(pdf)
             slots = list(range(n + 1, n + 1 + k))

@@ -84,8 +84,11 @@ def _mixed_delay_world(spark):
     pages = spark.createDataFrame(
         rows, "url string, host string, html string, status_code int, fetch_mode string"
     )
+    # slow delay 10 ≫ fast 1 and > the 5s round budget: with the
+    # cross-round cadence carry-over, slow.edu legitimately skips every
+    # other round (10s between its fetches spans two 5s rounds)
     robots = spark.createDataFrame(
-        [("slow.edu", 100.0), ("fast.edu", 1.0)], "host string, crawl_delay double"
+        [("slow.edu", 10.0), ("fast.edu", 1.0)], "host string, crawl_delay double"
     )
     from course_scraper_spark.config import SourceConfig
 
@@ -119,3 +122,53 @@ def test_budgeted_divergence_without_readmission(spark):
     urls = off.seen_urls("LOCAL_mixed")
     assert "https://fast.edu/x.html" in urls      # discovered (deep) ...
     assert "https://fast.edu/y.html" not in urls  # ... but never expanded
+
+
+def test_politeness_spacing_across_rounds(spark, sources, pages, robots):
+    """The reference invariant end-to-end (render_utils.py:58 — sleep
+    crawl_delay after EVERY fetch, never reset between waves): per-host
+    absolute fetch times (round_start + sched_time) must be spaced
+    >= crawl_delay across the WHOLE crawl, including round boundaries
+    and carry-over."""
+    budget = 3.0
+    log = []
+    crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=budget, schedule_log=log
+    )
+    assert log, "schedule_log must capture the fetch schedule"
+    delays = {r.host: r.crawl_delay for r in robots.collect()}
+    by_host = {}
+    for rounds, host, url, sched_time in log:
+        assert sched_time < budget  # nothing fetches past its round budget
+        by_host.setdefault(host, []).append((rounds - 1) * budget + sched_time)
+    multi = 0
+    for host, times in by_host.items():
+        times.sort()
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        if gaps:
+            multi += 1
+            assert min(gaps) >= delays.get(host, 1.0) - 1e-9, (host, min(gaps))
+    assert multi > 0  # the fixture actually exercises multi-fetch hosts
+
+
+def test_politeness_spacing_mixed_delay_carryover(spark):
+    """Carry-over regime (crawl_delay > round budget): the slow host's
+    cadence must hold across skipped rounds too."""
+    src, pages, robots = _mixed_delay_world(spark)
+    budget = 5.0
+    log = []
+    crawl_sources_budgeted(
+        spark, [src], pages, robots=robots, round_budget_s=budget, schedule_log=log
+    )
+    delays = {r.host: r.crawl_delay for r in robots.collect()}
+    by_host = {}
+    for rounds, host, url, sched_time in log:
+        by_host.setdefault(host, []).append((rounds - 1) * budget + sched_time)
+    slow = sorted(by_host["slow.edu"])
+    assert len(slow) >= 2  # root + at least one more slow fetch
+    gaps = [b - a for a, b in zip(slow, slow[1:])]
+    assert min(gaps) >= delays["slow.edu"] - 1e-9
+    fast_gaps = [
+        b - a for a, b in zip(sorted(by_host["fast.edu"]), sorted(by_host["fast.edu"])[1:])
+    ]
+    assert min(fast_gaps) >= delays["fast.edu"] - 1e-9

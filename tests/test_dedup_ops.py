@@ -229,16 +229,17 @@ def test_simhash64_bucket_cardinality_not_capped(spark):
 
 def test_connected_components_transitive(spark):
     """a~b, b~c (a~c never a pair) must land in ONE cluster — pairs alone
-    are not a dedup decision. Both the driver union-find branch and the
-    distributed label-propagation branch must agree."""
+    are not a dedup decision. The driver union-find branch and both
+    distributed branches (star-contraction, label propagation) must
+    agree."""
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
-    for thresh in (2_000_000, 0):  # union-find path / distributed path
+    for method in ("union_find", "star", "label_prop"):
         comp = {
             r.node: r.comp
-            for r in D.connected_components(pairs, driver_edge_threshold=thresh).collect()
+            for r in D.connected_components(pairs, method=method).collect()
         }
-        assert comp[1] == comp[2] == comp[3] == 1, thresh
-        assert comp[7] == comp[9] == 7, thresh
+        assert comp[1] == comp[2] == comp[3] == 1, method
+        assert comp[7] == comp[9] == 7, method
 
 
 def test_connected_components_long_chain_and_convergence_guard(spark):
@@ -252,6 +253,49 @@ def test_connected_components_long_chain_and_convergence_guard(spark):
     # the distributed loop must raise rather than return a partial labeling
     with pytest.raises(RuntimeError, match="converge"):
         D.connected_components(chain, max_iter=1, driver_edge_threshold=0)
+
+
+def test_star_contraction_beats_diameter(spark):
+    """The adversarial case the 100 TB design must survive: a component
+    whose diameter (200) far exceeds any reasonable round budget.
+    Label propagation needs O(diameter) rounds and must raise at
+    max_iter=20; star contraction closes in O(log n) rounds under the
+    same budget, and its labeling equals the union-find ground truth."""
+    n = 200
+    # interleave a second component + singleton-ish pair to catch
+    # cross-component label bleed
+    edges = [(i, i + 1) for i in range(n)] + [(1000, 1001), (1001, 1002)]
+    chain = spark.createDataFrame(edges, ["doc_a", "doc_b"]).repartition(8)
+
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=20, method="label_prop")
+
+    star = {
+        r.node: r.comp
+        for r in D.connected_components(chain, max_iter=20, method="star").collect()
+    }
+    truth = {
+        r.node: r.comp for r in D.connected_components(chain, method="union_find").collect()
+    }
+    assert star == truth
+    assert set(star.values()) == {0, 1000}
+
+
+def test_star_contraction_equals_union_find_random_graph(spark):
+    """Equality on an irregular graph: random-ish edges (deterministic
+    hash-derived), many components of mixed shapes."""
+    import hashlib
+
+    edges = []
+    for i in range(500):
+        h = int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+        a, b = h % 300, (h // 300) % 300
+        if a != b:
+            edges.append((a, b))
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    star = {r.node: r.comp for r in D.connected_components(pairs, method="star").collect()}
+    truth = {r.node: r.comp for r in D.connected_components(pairs, method="union_find").collect()}
+    assert star == truth
 
 
 def test_dup_clusters_keep_list(spark, docs):
@@ -269,3 +313,43 @@ def test_dup_clusters_keep_list(spark, docs):
     canon_per_cluster = Counter(c for c, canon in out.values() if canon)
     clusters = {c for c, _ in out.values()}
     assert set(canon_per_cluster) == clusters and all(v == 1 for v in canon_per_cluster.values())
+
+
+def test_banding_saturation_guards(spark, docs):
+    """max_bucket_rows raises loudly on a saturated fixture for BOTH
+    banding joins (simhash blocks, minhash band buckets) and stays quiet
+    at sane loads; the contract queries (no guard arg) are unchanged."""
+    # near-identical docs: every signature lands in the same buckets
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(20)]
+    same = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = D.simhash(same)
+    with pytest.raises(RuntimeError, match="saturation"):
+        D.simhash_near_pairs(sigs, max_bucket_rows=5).collect()
+    assert D.simhash_near_pairs(sigs, max_bucket_rows=100).count() > 0
+
+    mh = D.minhash_signatures(same)
+    with pytest.raises(RuntimeError, match="saturation"):
+        D.lsh_candidate_pairs(mh, max_bucket_rows=5).collect()
+    assert D.lsh_candidate_pairs(mh, max_bucket_rows=100).count() > 0
+
+
+def test_simhash_dup_clusters_scale_default(spark, docs):
+    """The scale entry point (64-bit signatures, adaptive CC) must agree
+    with the 32-bit oracle pipeline on the toy corpus: same exact-dup
+    cluster, same canonicals."""
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in D.simhash_dup_clusters(docs).collect()
+    }
+    sigs32 = D.simhash(docs)
+    pairs32 = D.simhash_near_pairs(sigs32, max_hamming=3)
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in D.dup_clusters(docs, pairs32).collect()
+    }
+    # exact dups (1 & 4 in the fixture) must cluster identically; 64-bit
+    # hamming on near-dups can legitimately differ from 32-bit, so pin
+    # the exact-dup behavior plus full key coverage
+    assert set(out) == set(want)
+    assert out[1] == (1, True) and out[4][0] == 1 and not out[4][1]

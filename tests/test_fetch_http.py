@@ -61,18 +61,50 @@ def test_ladder_404_skips_retries_renders_immediately():
 
 def test_ladder_429_static_fails_after_render_attempt():
     t = ScriptedTransport(429, "static")
-    ok, status, mode, html, attempts = run_ladder(t, "https://a.edu/r")
+    ok, status, mode, html, attempts = run_ladder(t, "https://a.edu/r", sleep_fn=FX.NO_SLEEP)
     assert not ok and status == 429 and html is None and attempts == 7
     assert t.render_calls == 1  # fallback tried, no JS payload -> fail
 
 
-def test_ladder_5xx_and_connection_error_no_render_branch():
+def test_ladder_5xx_no_render_branch():
     t = ScriptedTransport(503, "static")
-    ok, status, _, _, attempts = run_ladder(t, "https://a.edu/s")
+    ok, status, _, _, attempts = run_ladder(t, "https://a.edu/s", sleep_fn=FX.NO_SLEEP)
     assert not ok and status == 503 and attempts == 6 and t.render_calls == 0
-    t2 = ScriptedTransport(None, None)
-    ok2, status2, _, _, attempts2 = run_ladder(t2, "https://nope.example/")
-    assert not ok2 and status2 is None and attempts2 == 6 and t2.render_calls == 0
+
+
+def test_ladder_connection_error_retries_then_renders():
+    """Connection errors retry, then take the render branch — a page
+    recoverable only via dynamic render still gets its render attempt
+    after transient network errors (deviation from the reference's
+    render-immediately documented in the module docstring)."""
+    t = ScriptedTransport(None, None)
+    ok, status, _, _, attempts = run_ladder(t, "https://nope.example/", sleep_fn=FX.NO_SLEEP)
+    assert not ok and status is None and attempts == 7
+    assert t.get_calls == 6 and t.render_calls == 1
+
+    class FlakyThenRenderable(ScriptedTransport):
+        def render(self, url):
+            self.render_calls += 1
+            return FetchResponse(200, self.html, "dynamic")
+
+    t2 = FlakyThenRenderable(None, None)
+    ok2, status2, mode2, html2, attempts2 = run_ladder(
+        t2, "https://flaky.example/", sleep_fn=FX.NO_SLEEP
+    )
+    assert ok2 and status2 == 200 and mode2 == "dynamic" and html2 == t2.html
+    assert attempts2 == 7 and t2.render_calls == 1
+
+
+def test_default_sleep_is_real_time_sleep(monkeypatch):
+    """sleep_fn=None (the default) must back off for real — the
+    production contract; NO_SLEEP is the explicit test/bench opt-out."""
+    import course_scraper_spark.operators.fetch as fetch_mod
+
+    slept = []
+    monkeypatch.setattr(fetch_mod.time, "sleep", slept.append)
+    t = ScriptedTransport(503, "static")
+    run_ladder(t, "https://a.edu/s")  # default sleep_fn
+    assert len(slept) == 5 and slept[0] >= 1.0
 
 
 # -- attempt-count Column mirror ----------------------------------------------
@@ -82,7 +114,7 @@ def test_attempts_col_matches_ladder(spark, pages):
     """The join path's attempts_col must equal the real ladder's counts
     for every page in the world."""
     factory = FX.world_transport_factory(pages)
-    fetched = FX.fetch_http(pages.select("url"), factory, sleep_fn=None)
+    fetched = FX.fetch_http(pages.select("url"), factory, sleep_fn=FX.NO_SLEEP)
     got = {r.url: r.n_attempts for r in fetched.collect()}
     mirrored = {
         r.url: r.a
@@ -117,7 +149,7 @@ def test_crawl_http_equals_join(spark, sources, pages):
         pages,
         fetch="http",
         transport_factory=FX.world_transport_factory(pages),
-        fetch_kwargs={"sleep_fn": None},
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
     )
     assert canon(http.seen) == canon(base.seen)
     assert http.failed_sources == base.failed_sources
@@ -134,7 +166,7 @@ def test_budgeted_crawl_http_equals_join(spark, sources, pages):
         pages,
         fetch="http",
         transport_factory=FX.world_transport_factory(pages),
-        fetch_kwargs={"sleep_fn": None},
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
         **kw,
     )
     assert sorted((r.source_id, r.url) for r in http.seen.collect()) == sorted(
@@ -153,7 +185,7 @@ def test_http_metrics_record_attempts(spark, sources, pages, tmp_path):
         pages,
         fetch="http",
         transport_factory=FX.world_transport_factory(pages),
-        fetch_kwargs={"sleep_fn": None},
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
         metrics_store=store,
         run_id="http-run",
     )
@@ -218,7 +250,7 @@ def test_crawl_http_spec_transport_equals_join(spark, sources, pages, spec):
         pages,
         fetch="http",
         transport_factory=spec_transport_factory(spec),
-        fetch_kwargs={"sleep_fn": None},
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
     )
     assert canon(http.seen) == canon(base.seen)
 
@@ -238,9 +270,9 @@ def test_fused_fetch_extract_equals_two_step(spark, pages, spec):
         .withColumn("is_mc", F.col("url").contains("mc-catalog"))
     ).cache()
     factory = spec_transport_factory(spec)
-    fused = fetch_extract_http(wave, factory, sleep_fn=None)
+    fused = fetch_extract_http(wave, factory, sleep_fn=FX.NO_SLEEP)
     two_step = (
-        fetch_http(wave, factory, sleep_fn=None)
+        fetch_http(wave, factory, sleep_fn=FX.NO_SLEEP)
         .filter(F.col("ok"))
         .select(
             "source_id",
@@ -272,7 +304,72 @@ def test_crawl_http_with_salting_equals_join(spark, sources, pages, spec):
         pages,
         fetch="http",
         transport_factory=spec_transport_factory(spec),
-        fetch_kwargs={"sleep_fn": None},
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
         salt_hosts_threshold=10,
     )
     assert canon(http.seen) == canon(base.seen)
+
+
+def test_fused_stats_equal_join_path_metrics(spark, sources, pages, tmp_path):
+    """The fused HTTP path's in-band per-host aggregates must reproduce
+    the join path's Column-mirror stats EXACTLY — per (wave, source_id,
+    host): n_urls, n_fetch_ok, n_failed, n_attempts."""
+    from course_scraper_spark.operators.frontier import crawl_sources
+    from course_scraper_spark.operators.metrics import MetricsStore
+
+    def per_host(store):
+        return sorted(
+            (r.wave, r.source_id, r.host, r.n_urls, r.n_fetch_ok, r.n_failed, r.n_attempts)
+            for r in store.partition_metrics.read().collect()
+        )
+
+    join_store = MetricsStore(spark, str(tmp_path / "m_join"))
+    crawl_sources(spark, sources, pages, metrics_store=join_store, run_id="r")
+
+    http_store = MetricsStore(spark, str(tmp_path / "m_http"))
+    crawl_sources(
+        spark,
+        sources,
+        pages,
+        fetch="http",
+        transport_factory=FX.world_transport_factory(pages),
+        fetch_kwargs={"sleep_fn": FX.NO_SLEEP},
+        metrics_store=http_store,
+        run_id="r",
+    )
+    assert per_host(http_store) == per_host(join_store)
+
+
+def test_split_fused_output_roundtrip(spark, pages, spec):
+    """with_stats=True adds ONLY stats rows: the link half equals the
+    stats-free fused output; the stats half sums to the wave totals."""
+    from course_scraper_spark.operators.fetch import (
+        FETCH_STATS_STREAM,
+        fetch_extract_http,
+        split_fused_output,
+    )
+    from course_scraper_spark.functions import urls as U
+    from course_scraper_spark.synth.transport import spec_transport_factory
+
+    wave = (
+        pages.select("url")
+        .withColumn("host", U.host_of(F.col("url")))
+        .withColumn("source_id", F.lit("s"))
+        .withColumn("seq", F.monotonically_increasing_id())
+        .withColumn("depth", F.lit(0))
+        .withColumn("is_mc", F.col("url").contains("mc-catalog"))
+    ).cache()
+    factory = spec_transport_factory(spec)
+    fused = fetch_extract_http(wave, factory, sleep_fn=FX.NO_SLEEP, with_stats=True).cache()
+    links, stats = split_fused_output(fused)
+    plain = fetch_extract_http(wave, factory, sleep_fn=FX.NO_SLEEP)
+    cols = ["source_id", "page_url", "parent_seq", "link_pos", "stream", "href"]
+    assert sorted(map(tuple, links.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+    tot = stats.agg(
+        F.sum("n_urls").alias("u"), F.sum("n_fetch_ok").alias("ok"), F.sum("n_attempts").alias("a")
+    ).first()
+    n_wave = wave.count()
+    assert tot.u == n_wave and 0 < tot.ok <= n_wave and tot.a >= tot.u
+    assert links.filter(F.col("stream") == FETCH_STATS_STREAM).count() == 0

@@ -81,7 +81,7 @@ def test_fused_fetch_is_single_python_stage(spark, spec, pages):
     """The fusion contract: fetch_extract_http is ONE MapInPandas node —
     page html never crosses the Arrow boundary — while the two-step form
     pays two Python stages with the html column between them."""
-    from course_scraper_spark.operators.fetch import fetch_extract_http, fetch_http
+    from course_scraper_spark.operators.fetch import NO_SLEEP, fetch_extract_http, fetch_http
     from course_scraper_spark.operators.frontier import _LINKS_SCHEMA, _extract_links
     from course_scraper_spark.synth.transport import spec_transport_factory
 
@@ -93,10 +93,10 @@ def test_fused_fetch_is_single_python_stage(spark, spec, pages):
         .withColumn("is_mc", F.col("url").contains("mc-catalog"))
     )
     factory = spec_transport_factory(spec)
-    fused_plan = audit.plan_string(fetch_extract_http(wave, factory, sleep_fn=None), "simple")
+    fused_plan = audit.plan_string(fetch_extract_http(wave, factory, sleep_fn=NO_SLEEP), "simple")
     assert fused_plan.count("MapInPandas") == 1, fused_plan
     two_step = (
-        fetch_http(wave, factory, sleep_fn=None)
+        fetch_http(wave, factory, sleep_fn=NO_SLEEP)
         .filter(F.col("ok"))
         .select(
             "source_id", F.col("url").alias("page_url"), F.col("seq").alias("parent_seq"),
@@ -105,3 +105,42 @@ def test_fused_fetch_is_single_python_stage(spark, spec, pages):
         .mapInPandas(_extract_links, _LINKS_SCHEMA)
     )
     assert audit.plan_string(two_step, "simple").count("MapInPandas") == 2
+
+
+def test_seen_store_anti_join_single_exchange(spark):
+    """The co-partitioned seen store's contract: however many deltas the
+    seen set spans, the per-wave anti-join exchanges ONLY the candidate
+    side — the checkpointed deltas' hash partitioning satisfies the
+    join's required distribution (zero Exchange, zero Sort on the seen
+    side), with AQE enabled for the join itself."""
+    from course_scraper_spark.operators.seen_store import PartitionedSeenStore
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ (the at-scale shape)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        store = PartitionedSeenStore(spark, ("source_id", "url"), n_partitions=8)
+        for k in range(3):
+            store.add_delta(
+                spark.range(k * 1000, (k + 1) * 1000).select(
+                    F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source_id"),
+                    F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+                )
+            )
+        cand = spark.range(500).select(
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source_id"),
+            F.concat(F.lit("u"), (F.col("id") * 7).cast("string")).alias("url"),
+        )
+        out = store.anti_join(cand)
+        n = out.count()  # finalize the adaptive plan
+        plan = audit.plan_string(out, "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("SortMergeJoin") == 3, plan
+        # correctness: chain == anti-join against the union
+        want = cand.join(store.union().select("source_id", "url"), ["source_id", "url"], "left_anti")
+        assert n == want.count()
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

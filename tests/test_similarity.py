@@ -80,3 +80,51 @@ def test_lsh_near_dup_pairs_finds_near_dups(spark):
     # the exact-cosine verify
     assert got <= want
     assert len(got) >= len(want) - 1  # allow one boundary-angle miss
+
+
+def test_kmeans_sample_unbiased_on_id_ordered_clusters(spark):
+    """Hash-mod sampling must see every natural cluster even when id
+    order correlates with cluster membership — the first-N-by-id prefix
+    sample sees only the earliest clusters and k-means can never place a
+    centroid where the sample has no points."""
+    import math
+
+    import numpy as np
+
+    def unit(seed, dim=6):
+        vals = [math.sin(seed * 9.1 + j * 1.7) for j in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    centers = [unit(s) for s in (1, 40, 77)]
+    rows = []
+    vid = 0
+    for c, base in enumerate(centers):  # ids 0-199 cluster0, 200-399 cluster1, ...
+        for k in range(200):
+            v = [x + 0.02 * math.sin(vid * 3.3 + j) for j, x in enumerate(base)]
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def nearest_cos(center, cents):
+        cu = np.array(center) / np.linalg.norm(center)
+        best = -2.0
+        for _, cv in cents:
+            cvu = np.array(cv) / np.linalg.norm(cv)
+            best = max(best, float(cu @ cvu))
+        return best
+
+    # sample_size=100 < 600 rows: the hash-mod sample spans all clusters
+    cents = S.kmeans_centroids(emb, n_lists=3, sample_size=100)
+    for c in centers:
+        assert nearest_cos(c, cents) > 0.98
+
+    # determinism: same input -> identical centroids
+    cents2 = S.kmeans_centroids(emb, n_lists=3, sample_size=100)
+    assert cents == cents2
+
+    # the prefix-sample twin (the old behavior) misses clusters 2 and 3:
+    # its best centroid for the last cluster is far off
+    prefix = emb.orderBy("vec_id").limit(100)
+    cents_prefix = S.kmeans_centroids(prefix, n_lists=3, sample_size=100)
+    assert nearest_cos(centers[2], cents_prefix) < 0.9

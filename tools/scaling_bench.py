@@ -135,7 +135,7 @@ def worker(cpus: int, stage: str) -> None:
         print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "targets": n_targets,
                           "docs": n_docs, "throughput": n_targets / wall}))
     elif stage == "http_fetch":
-        from course_scraper_spark.operators.fetch import fetch_extract_http
+        from course_scraper_spark.operators.fetch import NO_SLEEP, fetch_extract_http
         from course_scraper_spark.synth.spark_world import build_urls_spark
         from course_scraper_spark.synth.transport import spec_transport_factory
 
@@ -160,7 +160,7 @@ def worker(cpus: int, stage: str) -> None:
         # eff 0.32 at 2->8 cores — GC/serialization-bound on the html
         # column, not CPU-bound — while the fused form is the ladder's
         # real CPU profile (and the production shape for the crawl loop).
-        links = fetch_extract_http(wave, spec_transport_factory(spec), sleep_fn=None)
+        links = fetch_extract_http(wave, spec_transport_factory(spec), sleep_fn=NO_SLEEP)
         n_links = links.count()
         wall = time.time() - t0
         print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "urls": n_urls,
