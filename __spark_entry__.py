@@ -40,8 +40,9 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  simhash 64-bit            q_simhash64
   dedup  simhash64 near-pairs      q_simhash64_pairs
   dedup  cluster formation (CC)    q_dup_clusters
+  dedup  cluster formation (star)  q_dup_clusters_star
   S7/F   robots Disallow filter    q_robots_disallow
-(34 queries, every one with a hash-exact DuckDB oracle)
+(35 queries, every one with a hash-exact DuckDB oracle)
 """
 
 from __future__ import annotations
@@ -360,6 +361,19 @@ def q_dup_clusters(spark, sf):
     return D.dup_clusters(docs, pairs).select("doc_id", "cluster_id", "is_canonical")
 
 
+def q_dup_clusters_star(spark, sf):
+    # same keep-list as q_dup_clusters, transitive closure FORCED through
+    # the distributed star-contraction branch (Kiveris et al.) — the
+    # O(log n)-round large-graph path is hash-checked against the same
+    # recursive-CTE oracle as the union-find path
+    docs = _t(spark, sf, "documents")
+    sigs = D.simhash_pandas(docs, bits=32)
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3)
+    return D.dup_clusters(docs, pairs, cc_method="star").select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_simhash64(spark, sf):
     # the SCALE configuration (Manku et al.): 64-bit signatures — two's-
     # complement longs on both engines; banding gets 16-bit blocks
@@ -522,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash64": q_simhash64,
         "q_simhash64_pairs": q_simhash64_pairs,
         "q_dup_clusters": q_dup_clusters,
+        "q_dup_clusters_star": q_dup_clusters_star,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_ann_topk": q_ann_topk,
@@ -830,6 +845,10 @@ SELECT d.doc_id,
        (d.doc_id = coalesce(c.comp, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
+
+    # star-contraction variant: same pairs, same transitive closure —
+    # the oracle is identical; only the Spark-side CC algorithm differs
+    out["q_dup_clusters_star"] = out["q_dup_clusters"]
 
     out["q_simhash64"] = _simhash_sql(bits=64)
     sig64_body = _simhash_sql(bits=64).strip()

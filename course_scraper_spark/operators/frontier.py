@@ -723,6 +723,7 @@ def crawl_sources_budgeted(
     fetch_kwargs: dict | None = None,
     readmit_min_depth: bool = True,
     schedule_log: list | None = None,
+    copartition_seen: bool | str = "auto",
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -811,6 +812,23 @@ def crawl_sources_budgeted(
             # round 0 = the root set: without it, a resume would replay
             # only the per-round deltas and lose the roots from seen
             state_store.save_round(0, seen, pending, seq_base)
+
+    # co-partitioned seen store, same adaptive contract as crawl_sources
+    # (seen here is append-only too — re-admission improves expansion
+    # state in `improvements`, never rewrites seen rows). The anti-joins
+    # route through the delta chain once active; seen stays a union view
+    # for the re-admission overlay and the final result.
+    seen_store = None
+    seen_rows_est = seen.count() if copartition_seen == "auto" else 0
+    if copartition_seen is True:
+        from .seen_store import PartitionedSeenStore
+
+        seen_store = PartitionedSeenStore(
+            spark, ("source_id", "url"),
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
+        seen = seen_store.add_delta(seen)
+        seen = seen_store.union()
 
     from .politeness import next_round_offsets, split_by_budget, with_schedule
 
@@ -948,7 +966,11 @@ def crawl_sources_budgeted(
             )
             .select("source_id", F.col("full_url").alias("url"))
             .dropDuplicates(["source_id", "url"])
-            .join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            .transform(
+                lambda d: seen_store.anti_join(d)
+                if seen_store is not None
+                else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+            )
             .select(
                 "source_id",
                 "url",
@@ -984,9 +1006,12 @@ def crawl_sources_budgeted(
                 queue_cand.withColumn("host", U.host_of(F.col("url"))), robots,
                 robots_rows=robots_rows,
             ).drop("host")
-        new_urls = queue_cand.join(
-            seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
-        )
+        if seen_store is not None:
+            new_urls = seen_store.anti_join(queue_cand)
+        else:
+            new_urls = queue_cand.join(
+                seen.select("source_id", "url"), ["source_id", "url"], "left_anti"
+            )
         first = (
             new_urls.groupBy("source_id", "url")
             .agg(F.min(F.struct("parent_seq", "link_pos", "depth", "max_depth", "is_mc")).alias("k"))
@@ -1077,9 +1102,26 @@ def crawl_sources_budgeted(
             new_rows.select("source_id", "url", "host", "depth", "seq")
             .withColumn("visited", F.lit(True))
             .unionByName(previews)
-            .localCheckpoint(eager=True)
         )
-        seen = seen.unionByName(delta)
+        seen_rows_est += n_new
+        if (
+            seen_store is None
+            and copartition_seen == "auto"
+            and seen_rows_est > COPARTITION_SEEN_THRESHOLD
+        ):
+            from .seen_store import PartitionedSeenStore
+
+            seen_store = PartitionedSeenStore(
+                spark, ("source_id", "url"),
+                n_partitions=spark.sparkContext.defaultParallelism,
+            )
+            seen = seen_store.add_delta(seen)  # one-time seed repartition
+        if seen_store is not None:
+            delta = seen_store.add_delta(delta)
+            seen = seen_store.union()
+        else:
+            delta = delta.localCheckpoint(eager=True)
+            seen = seen.unionByName(delta)
         pending = deferred.unionByName(fetchable_new)
         if readmit is not None and n_readmit:
             pending = pending.unionByName(readmit)

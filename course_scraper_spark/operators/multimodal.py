@@ -5,15 +5,19 @@ Media in the crawl appear as span rows with ``kind='media'`` and a
 src — scraper schema 'attribute' type). A training pipeline needs the
 bytes themselves plus decode/feature stages. The Spark-side plumbing —
 schema, Arrow batch shape, partitioning, ``mapInPandas`` signatures — is
-real and tested, and so are two codecs — both pure Python/numpy, no
-external libs: ``decode_bmp`` (uncompressed 24-bit BMP; the synthetic
-media table emits real BMPs, and ``resize_media`` thumbnails them) and
-``decode_wav`` (PCM 16-bit mono RIFF/WAVE; ``synth_audio_table`` emits
-real tones with assertable spectral features). The ``decode_fn`` hook
-stays injectable:
+real and tested, and so are three codecs — all pure Python/numpy with
+only stdlib zlib: ``decode_bmp`` (uncompressed 24-bit BMP),
+``decode_png`` (real 8-bit PNG — full five-filter unfilter, grey/RGB/
+grey-alpha/RGBA, CRC-checked; ``encode_png`` rotates the row filter so
+every roundtrip exercises all five), and ``decode_wav`` (PCM 16-bit
+mono RIFF/WAVE; ``synth_audio_table`` emits real tones with assertable
+spectral features). ``resize_media`` thumbnails BMP and PNG alike,
+re-encoding in the input's container. The ``decode_fn`` hook stays
+injectable:
 
-* default ``decode_media`` dispatches by media_type (image→BMP,
-  audio→WAV) and dead-letters corrupt or unsupported payloads,
+* default ``decode_media`` dispatches by media_type (image→BMP/PNG by
+  magic sniff, audio→WAV) and dead-letters corrupt or unsupported
+  payloads,
 * ``fake_decode`` is the codec-free deterministic stand-in (md5-derived
   pseudo-features),
 * ``strict_decode`` raises NotImplementedError — swap in a full decoder
@@ -80,12 +84,12 @@ def encode_bmp(width: int, height: int, rgb: np.ndarray) -> bytes:
     return header + dib + data
 
 
-def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
-    """Pure-Python/numpy decoder for uncompressed 24-bit BMP → 8-dim
-    feature [w/256, h/256, mean R,G,B /255, gray std/128, gray min/255,
-    gray max/255]. Raises (→ dead-letter row) on bad magic, unsupported
-    bpp/compression, or truncated pixel data."""
-    px = _decode_bmp_pixels(payload).astype(np.float32)
+def _image_feature(px: np.ndarray) -> np.ndarray:
+    """Shared 8-dim image feature from an (h, w, 3) RGB uint8 array:
+    [w/256, h/256, mean R,G,B /255, gray std/128, gray min/255,
+    gray max/255] — identical pixels give identical features regardless
+    of container format (BMP vs PNG, test-pinned)."""
+    px = px.astype(np.float32)
     height, width = px.shape[:2]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     gray = 0.299 * r + 0.587 * g + 0.114 * b
@@ -104,6 +108,185 @@ def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
     )
 
 
+def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
+    """Pure-Python/numpy decoder for uncompressed 24-bit BMP → 8-dim
+    feature (see :func:`_image_feature`). Raises (→ dead-letter row) on
+    bad magic, unsupported bpp/compression, or truncated pixel data."""
+    return _image_feature(_decode_bmp_pixels(payload))
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: np.ndarray, color_type: int = 2) -> bytes:
+    """Minimal real PNG writer (pure Python + stdlib zlib): 8-bit
+    greyscale (0), RGB (2) or RGBA (6), non-interlaced. The row filter is
+    ``y % 5`` — every PNG this emits exercises ALL five filter types
+    (None/Sub/Up/Average/Paeth), so the decoder's unfilter paths are
+    covered by any roundtrip."""
+    if color_type == 0:
+        ch = 1
+        plane = rgb if rgb.ndim == 2 else rgb[..., 0]
+        raw = plane.astype(np.uint8).reshape(height, width, 1)
+    elif color_type == 2:
+        ch = 3
+        raw = rgb.astype(np.uint8).reshape(height, width, 3)
+    elif color_type == 6:
+        ch = 4
+        if rgb.shape[-1] == 3:  # opaque alpha if caller passed RGB
+            raw = np.concatenate(
+                [rgb, np.full((height, width, 1), 255, dtype=np.uint8)], axis=-1
+            )
+        else:
+            raw = rgb.astype(np.uint8).reshape(height, width, 4)
+    else:
+        raise ValueError(f"unsupported color_type {color_type}")
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stream = bytearray()
+    prev = np.zeros(width * ch, dtype=np.uint8)
+    for y in range(height):
+        row = raw[y].reshape(-1)
+        ft = y % 5
+        stream.append(ft)
+        if ft == 0:
+            stream += row.tobytes()
+        elif ft == 1:  # Sub
+            out = row.astype(np.int16).copy()
+            out[ch:] -= row[:-ch].astype(np.int16)
+            stream += (out % 256).astype(np.uint8).tobytes()
+        elif ft == 2:  # Up
+            stream += ((row.astype(np.int16) - prev.astype(np.int16)) % 256).astype(np.uint8).tobytes()
+        elif ft == 3:  # Average
+            out = bytearray()
+            for x in range(len(row)):
+                a = int(row[x - ch]) if x >= ch else 0
+                out.append((int(row[x]) - (a + int(prev[x])) // 2) % 256)
+            stream += bytes(out)
+        else:  # Paeth
+            out = bytearray()
+            for x in range(len(row)):
+                a = int(row[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                out.append((int(row[x]) - paeth(a, int(prev[x]), c)) % 256)
+            stream += bytes(out)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(stream))
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _decode_png_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB uint8 from an 8-bit non-interlaced PNG (grey, RGB,
+    grey+alpha or RGBA; alpha is dropped, grey replicates to 3 channels).
+    Pure Python + stdlib zlib — full unfilter (None/Sub/Up/Average/
+    Paeth). Raises on bad signature, CRC mismatch, truncated chunks, or
+    unsupported bit depth/interlace."""
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    ch = channels
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub
+            cur = row.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) % 256
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGBA -> RGB
+
+
+def decode_png(payload: bytes, media_type: str = "image") -> np.ndarray:
+    """Real PNG decoder (stdlib zlib + numpy) → the shared 8-dim image
+    feature. Same pixels as a BMP give the identical feature vector."""
+    return _image_feature(_decode_png_pixels(payload))
+
+
+def _decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Container sniffer: BMP magic or PNG signature → (h, w, 3) RGB."""
+    if payload[:2] == b"BM":
+        return _decode_bmp_pixels(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png_pixels(payload)
+    raise ValueError("unknown image container (not BMP or PNG)")
+
+
+def decode_image(payload: bytes, media_type: str = "image") -> np.ndarray:
+    """Format-sniffing image decoder: BMP or PNG → 8-dim feature."""
+    return _image_feature(_decode_image_pixels(payload))
+
+
 def _synth_bmp(ref: str) -> tuple[bytes, int, int]:
     """Deterministic small real BMP from a media_ref: dims and pixels are
     pure functions of crc32(ref)."""
@@ -114,12 +297,26 @@ def _synth_bmp(ref: str) -> tuple[bytes, int, int]:
     return encode_bmp(w, h, px), w, h
 
 
-def synth_media_table(docs: DataFrame) -> DataFrame:
+def _synth_png(ref: str) -> tuple[bytes, int, int]:
+    """Deterministic small real PNG from a media_ref — same pixel recipe
+    as :func:`_synth_bmp`, so the two containers are feature-identical
+    for the same ref; rotates through grey/RGB/RGBA color types."""
+    c = zlib.crc32(ref.encode())
+    w = 16 + (c % 16)
+    h = 16 + ((c >> 4) % 16)
+    px = ((c + 7 * np.arange(w * h * 3)) % 251).astype(np.uint8).reshape(h, w, 3)
+    color_type = (0, 2, 6)[c % 3]
+    return encode_png(w, h, px, color_type=color_type), w, h
+
+
+def synth_media_table(docs: DataFrame, formats: tuple[str, ...] = ("bmp",)) -> DataFrame:
     """Deterministic media rows from the docs table's media spans:
-    payload = a real (tiny) uncompressed BMP derived from the ref, so the
-    decode stage exercises actual bytes; metadata matches the encoded
-    dims. Exists so the plumbing has real binary columns to move through
-    shuffles and Arrow."""
+    payload = a real (tiny) image derived from the ref, so the decode
+    stage exercises actual bytes; metadata matches the encoded dims.
+    ``formats``: containers to rotate through per ref (crc-keyed) —
+    ``("bmp",)`` default, ``("bmp", "png")`` for the mixed-container
+    pipeline. Exists so the plumbing has real binary columns to move
+    through shuffles and Arrow."""
     media = (
         docs.select("doc_id", F.explode("spans").alias("sp"))
         .filter(F.col("sp.kind") == "media")
@@ -129,7 +326,10 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
-            encoded = [_synth_bmp(r) for r in refs]
+            encoded = []
+            for r in refs:
+                fmt = formats[zlib.crc32(r.encode()) % len(formats)]
+                encoded.append(_synth_png(r) if fmt == "png" else _synth_bmp(r))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
@@ -239,12 +439,12 @@ def synth_audio_table(spark, n: int = 20, sample_rate: int = 8000) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """Type-dispatching default decoder: image → BMP, audio → WAV —
-    both real pure-numpy codecs; anything else dead-letters via
-    strict_decode's error (inject a full decoder for compressed
-    formats)."""
+    """Type-dispatching default decoder: image → BMP/PNG (sniffed by
+    magic), audio → WAV — all real pure-Python/numpy(+stdlib zlib)
+    codecs; anything else dead-letters via strict_decode's error
+    (inject a full decoder for other compressed formats)."""
     if media_type == "image":
-        return decode_bmp(payload, media_type)
+        return decode_image(payload, media_type)
     if media_type == "audio":
         return decode_wav(payload, media_type)
     return strict_decode(payload, media_type)
@@ -296,11 +496,12 @@ def resize_media(
     height: int = 8,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Thumbnail stage: decode BMP → nearest-neighbor resize → re-encode
-    BMP. Real bytes in, real bytes out (no codec libs needed for the
-    uncompressed format); corrupt payloads dead-letter like
-    extract_features. The batch-size discipline matches extract_features:
-    size-binned repartition bounds Arrow batch BYTES."""
+    """Thumbnail stage: decode (BMP or PNG, sniffed) → nearest-neighbor
+    resize → re-encode in the INPUT's container format. Real bytes in,
+    real bytes out (stdlib zlib covers PNG); corrupt payloads
+    dead-letter like extract_features. The batch-size discipline matches
+    extract_features: size-binned repartition bounds Arrow batch
+    BYTES."""
     spark = media.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
     sized = media.withColumn(
@@ -325,13 +526,15 @@ def resize_media(
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 out["media_ref"].append(ref)
                 try:
-                    px = _decode_bmp_pixels(bytes(payload))
+                    raw = bytes(payload)
+                    px = _decode_image_pixels(raw)
                     h0, w0 = px.shape[:2]
                     # nearest-neighbor index maps (deterministic)
                     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
                     thumb = px[yi][:, xi]
-                    out["payload"].append(encode_bmp(width, height, thumb))
+                    enc = encode_png if raw[:8] == PNG_SIG else encode_bmp
+                    out["payload"].append(enc(width, height, thumb))
                     out["width"].append(width)
                     out["height"].append(height)
                     out["decode_ok"].append(True)

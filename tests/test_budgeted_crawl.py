@@ -172,3 +172,19 @@ def test_politeness_spacing_mixed_delay_carryover(spark):
         b - a for a, b in zip(sorted(by_host["fast.edu"]), sorted(by_host["fast.edu"])[1:])
     ]
     assert min(fast_gaps) >= delays["fast.edu"] - 1e-9
+
+
+def test_budgeted_copartitioned_seen_equality(spark, sources, pages, robots):
+    """Forcing the co-partitioned seen store in the budgeted loop must
+    reproduce the default path's final seen set exactly."""
+    base = crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=8.0, copartition_seen=False
+    )
+    stored = crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=8.0, copartition_seen=True
+    )
+    canon = lambda r: sorted(
+        (x.source_id, x.url, x.depth, x.seq, x.visited)
+        for x in r.seen.select("source_id", "url", "depth", "seq", "visited").collect()
+    )
+    assert canon(stored) == canon(base)

@@ -53,8 +53,12 @@ PARSE_PAGES = 300_000
 PARSE_HOSTS = 150
 HTTP_PAGES = 1_200_000
 HTTP_HOSTS = 600
-LOOP_PAGES = 20_000
-LOOP_HOSTS = 40
+# overridable: the loop stage is latency-dominated at 20k (per-wave fixed
+# cost); SPARK_GRAFT_LOOP_PAGES=100000 reproduces the amortization
+# evidence (r3: eff 0.29@20k -> 0.48@100k) and crosses the
+# COPARTITION_SEEN_THRESHOLD so the co-partitioned seen store engages
+LOOP_PAGES = int(os.environ.get("SPARK_GRAFT_LOOP_PAGES", "20000"))
+LOOP_HOSTS = max(40, LOOP_PAGES // 500)
 
 
 def _heavy_spec(pages, hosts):
