@@ -1062,16 +1062,49 @@ def crawl_sources_budgeted(
             # re-admissions terminate. Seen itself is never rewritten —
             # set membership is already correct, only expansion state
             # improves.
-            known = seen.filter(F.col("visited") & F.col("depth").isNotNull()).select(
-                "source_id", "url", "depth"
-            )
-            if improvements is not None:
-                known = known.unionByName(improvements)
+            if seen_store is not None:
+                # candidate-scoped lookup via the store: a plain
+                # known/redisc join against `seen` reshuffles the whole
+                # seen side EVERY round (the same O(|seen|) cost the
+                # anti-join chain eliminates). semi_rows pulls only the
+                # seen rows whose key this round's candidates touch —
+                # candidate-scale — with zero exchanges on the delta
+                # sides. known_min over that subset is equivalent: keys
+                # outside the candidate set never join redisc anyway.
+                qkeys = (
+                    queue_cand.select("source_id", "url")
+                    .dropDuplicates()
+                    .localCheckpoint(eager=True)
+                )
+                seen_cand = seen_store.semi_rows(
+                    qkeys, ["source_id", "url", "host", "depth", "seq", "visited"]
+                ).localCheckpoint(eager=True)
+                known = seen_cand.filter(
+                    F.col("visited") & F.col("depth").isNotNull()
+                ).select("source_id", "url", "depth")
+                if improvements is not None:
+                    known = known.unionByName(
+                        improvements.join(qkeys, ["source_id", "url"], "left_semi")
+                    )
+                seen_keys = seen_cand.select("source_id", "url").distinct()
+                seen_visited = seen_cand.filter(F.col("visited")).select(
+                    "source_id", "url", "host", "seq"
+                )
+            else:
+                known = seen.filter(F.col("visited") & F.col("depth").isNotNull()).select(
+                    "source_id", "url", "depth"
+                )
+                if improvements is not None:
+                    known = known.unionByName(improvements)
+                seen_keys = seen.select("source_id", "url")
+                seen_visited = seen.filter(F.col("visited")).select(
+                    "source_id", "url", "host", "seq"
+                )
             known_min = known.groupBy("source_id", "url").agg(
                 F.min("depth").alias("known_depth")
             )
             redisc = (
-                queue_cand.join(seen.select("source_id", "url"), ["source_id", "url"], "left_semi")
+                queue_cand.join(seen_keys, ["source_id", "url"], "left_semi")
                 .groupBy("source_id", "url")
                 .agg(F.min(F.struct("depth", "max_depth", "is_mc")).alias("k"))
                 .select("source_id", "url", "k.depth", "k.max_depth", "k.is_mc")
@@ -1082,10 +1115,7 @@ def crawl_sources_budgeted(
             readmit = (
                 improved.filter(F.col("is_mc") | (F.col("depth") < F.col("max_depth")))
                 .select("source_id", "url", "depth")
-                .join(
-                    seen.filter(F.col("visited")).select("source_id", "url", "host", "seq"),
-                    ["source_id", "url"],
-                )
+                .join(seen_visited, ["source_id", "url"])
                 .select("source_id", "url", "host", "depth", "seq")
                 .localCheckpoint(eager=True)
             )

@@ -24,11 +24,21 @@ from .frontier import fetch_ok_col
 
 
 class MetricsStore:
-    def __init__(self, spark: SparkSession, root: str):
-        self.run_log = SnapshotTable.create(spark, os.path.join(root, "run_log"))
-        self.partition_metrics = SnapshotTable.create(
-            spark, os.path.join(root, "partition_metrics"), bucket_col="host", n_buckets=16
+    """``table_factory(name, bucket_col, n_buckets)`` makes the backend
+    pluggable: the default builds parquet-emulated ``SnapshotTable``s
+    under ``root``; pass a factory returning
+    ``storage.iceberg.IcebergTable`` handles to write the same
+    append-only tables into a real catalog (the metrics interface uses
+    only append/read, which both backends share)."""
+
+    def __init__(self, spark: SparkSession, root: str, table_factory=None):
+        mk = table_factory or (
+            lambda name, bucket_col=None, n_buckets=16: SnapshotTable.create(
+                spark, os.path.join(root, name), bucket_col=bucket_col, n_buckets=n_buckets
+            )
         )
+        self.run_log = mk("run_log")
+        self.partition_metrics = mk("partition_metrics", bucket_col="host", n_buckets=16)
         self.spark = spark
 
     def log(self, run_id: str, source_id: str, stage: str, msg: str) -> None:

@@ -99,6 +99,24 @@ class PartitionedSeenStore:
             out = out.join(d.select(*self.keys), self.keys, "left_anti")
         return out
 
+    def semi_rows(self, keys_df: DataFrame, cols: list[str]) -> DataFrame:
+        """Seen rows (projected to ``cols``) whose key tuple appears in
+        ``keys_df`` — the store's LOOKUP primitive. A plain
+        ``seen.join(keys, ...)`` reshuffles the whole seen side; here
+        each delta left-semi-joins ``keys_df`` with its OWN preserved
+        partitioning (no exchange on the delta side; semi-join
+        distributes over the union of the left side), so only the
+        candidate-scale ``keys_df`` and the matching rows move. Callers
+        should checkpoint/cache ``keys_df`` — its subplan feeds every
+        delta's join."""
+        out = None
+        for d in self.deltas:
+            m = d.select(*cols).join(keys_df.select(*self.keys), self.keys, "left_semi")
+            out = m if out is None else out.unionByName(m)
+        if out is None:
+            raise ValueError("empty seen store")
+        return out
+
     def union(self) -> DataFrame:
         """The full seen set (reads, previews, the final result)."""
         if not self.deltas:

@@ -10,6 +10,16 @@ with identical final state (tests/test_resume.py).
 The seen table buckets by host (explicit hash partitioning): the
 per-wave anti-join and the bloom sidecar probe both align with this
 layout.
+
+Backend note: this store leans on the emulation's per-commit ``meta``
+dict (seq counters ride the wave/round commit). Iceberg's equivalent is
+the snapshot SUMMARY map, which Spark SQL cannot set — binding this
+store to ``storage.iceberg.IcebergTable`` needs either the Iceberg Java
+commit API for summary properties or a tiny side table keyed by tag;
+the append/overwrite/tag/time-travel calls themselves map 1:1. The
+sandbox has no jar to validate either route, so the emulated backend
+stays the default here (unlike MetricsStore, whose interface both
+backends already satisfy).
 """
 
 from __future__ import annotations
