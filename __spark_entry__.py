@@ -11,6 +11,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   J1     seen-set anti-join        q_set_difference (same primitive)
   A1/SET2 first-occurrence dedup   q_first_occurrence_dedup
   §2.5   politeness window         q_politeness_schedule
+  §2.5   cross-round cadence       q_politeness_carryover
   A5/AR3 code normalization        q_code_normalization
   §2.8   clean_text (builtin path) q_clean_text
   F5     exclude-pattern filter    q_exclude_filter
@@ -42,7 +43,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  cluster formation (CC)    q_dup_clusters
   dedup  cluster formation (star)  q_dup_clusters_star
   S7/F   robots Disallow filter    q_robots_disallow
-(35 queries, every one with a hash-exact DuckDB oracle)
+(36 queries, every one with a hash-exact DuckDB oracle)
 """
 
 from __future__ import annotations
@@ -154,6 +155,40 @@ def q_politeness_schedule(spark, sf):
         F.col("slot").cast("long").alias("slot"),
         F.col("sched_time").cast("double").alias("sched_time"),
     )
+
+
+def q_politeness_carryover(spark, sf):
+    """Two scheduling rounds with cross-round cadence carry-over
+    (politeness.next_round_offsets): round 1 schedules the even events
+    (delay 2.0, budget 3.0 — the last fetch at t=2 owes the next round
+    an offset of 1.0), round 2 schedules the deferral + the odd
+    arrivals starting at each host's carried offset. Exercises the
+    whole offsets pipeline — with_schedule(host_offsets=...), the
+    greatest(0, last+delay-budget) math, the t0>0 dim pruning — against
+    a pure window-function SQL mirror."""
+    from course_scraper_spark.operators.politeness import next_round_offsets
+
+    events = _t(spark, sf, "events")
+    base = events.select(F.col("user_id").alias("host"), F.col("event_id").alias("seq"))
+    robots = base.select("host").distinct().withColumn("crawl_delay", F.lit(2.0))
+    w1 = base.filter(F.col("seq") % 2 == 0)
+    s1 = with_schedule(w1, robots=robots)
+    now1, def1 = split_by_budget(s1, budget_s=3.0)
+    off = next_round_offsets(now1, None, robots, 3.0)
+    p2 = def1.unionByName(base.filter(F.col("seq") % 2 == 1))
+    s2 = with_schedule(p2, robots=robots, host_offsets=off)
+    now2, _def2 = split_by_budget(s2, budget_s=3.0)
+
+    def sel(df, rnd):
+        return df.select(
+            F.col("host").alias("user_id"),
+            F.col("seq").alias("event_id"),
+            F.lit(rnd).cast("long").alias("rnd"),
+            F.col("slot").cast("long").alias("slot"),
+            F.round(F.col("sched_time"), 6).cast("double").alias("sched_time"),
+        )
+
+    return sel(now1, 1).unionByName(sel(now2, 2))
 
 
 def q_code_normalization(spark, sf):
@@ -515,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_difference": q_set_difference,
         "q_first_occurrence_dedup": q_first_occurrence_dedup,
         "q_politeness_schedule": q_politeness_schedule,
+        "q_politeness_carryover": q_politeness_carryover,
         "q_code_normalization": q_code_normalization,
         "q_clean_text": q_clean_text,
         "q_exclude_filter": q_exclude_filter,
@@ -653,6 +689,41 @@ SELECT user_id, event_type, event_id AS first_event_id FROM (
   SELECT user_id, event_type, event_id,
          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
   FROM events) WHERE rn = 1
+"""
+
+    # two rounds with cadence carry-over: delay 2, budget 3 — round 1
+    # fetches slots at t=0,2; the t=2 fetch carries t0 = 2+2-3 = 1 into
+    # round 2, whose first slot then fires at 1 and whose second (t=3)
+    # defers. Mirrors politeness.next_round_offsets exactly.
+    out["q_politeness_carryover"] = """
+WITH r1 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS slot
+  FROM events WHERE event_id % 2 = 0),
+s1 AS (SELECT user_id, event_id, slot, (slot - 1) * 2.0 AS sched FROM r1),
+now1 AS (SELECT * FROM s1 WHERE sched < 3.0),
+def1 AS (SELECT user_id, event_id FROM s1 WHERE sched >= 3.0),
+off AS (
+  SELECT user_id, max(sched) + 2.0 - 3.0 AS t0 FROM now1
+  GROUP BY user_id HAVING max(sched) + 2.0 - 3.0 > 0),
+p2 AS (
+  SELECT user_id, event_id FROM def1
+  UNION ALL
+  SELECT user_id, event_id FROM events WHERE event_id % 2 = 1),
+r2 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS slot
+  FROM p2),
+s2 AS (
+  SELECT r2.user_id, r2.event_id, r2.slot,
+         coalesce(o.t0, 0) + (r2.slot - 1) * 2.0 AS sched
+  FROM r2 LEFT JOIN off o ON o.user_id = r2.user_id),
+now2 AS (SELECT * FROM s2 WHERE sched < 3.0)
+SELECT user_id, event_id, 1::BIGINT AS rnd, slot::BIGINT AS slot,
+       round(sched, 6)::DOUBLE AS sched_time FROM now1
+UNION ALL
+SELECT user_id, event_id, 2::BIGINT, slot::BIGINT,
+       round(sched, 6)::DOUBLE FROM now2
 """
 
     out["q_politeness_schedule"] = """

@@ -147,3 +147,45 @@ def test_streaming_politeness_slots_state_continues(spark, tmp_path):
     # independent per-host counters; default delay 1.0 for b.edu
     assert rows["https://b.edu/q1"] == (1, 0.0)
     assert rows["https://b.edu/q2"] == (2, 1.0)
+
+
+def test_streaming_politeness_slots_multichunk_group_order(spark, tmp_path):
+    """A host group larger than one Arrow batch must still get ONE
+    global (discovered_at, url) order per micro-batch — the chunks are
+    concatenated before sorting, so slot assignment is deterministic
+    (regression for the chunk-local sort)."""
+    from course_scraper_spark.streaming.waves import streaming_politeness_slots
+
+    d = str(tmp_path / "mc_urls")
+    # one host, 30 rows in one micro-batch, written in REVERSE time order
+    # so a chunk-local sort would interleave slots across chunks
+    rows = [
+        {
+            "url": f"https://h.edu/p{i:02d}",
+            "source_id": "s",
+            "discovered_at": f"2024-01-01T00:{59 - i:02d}:00Z",
+        }
+        for i in range(30)
+    ]
+    _write_json(f"{d}/b0.json", rows)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")  # force many chunks
+    try:
+        q = (
+            streaming_politeness_slots(spark, d, crawl_delays={"h.edu": 2.0})
+            .writeStream.format("memory")
+            .queryName("mc_slots")
+            .option("checkpointLocation", str(tmp_path / "ck_mc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {r.url: (r.slot, r.sched_time) for r in spark.sql("SELECT * FROM mc_slots").collect()}
+    assert len(got) == 30
+    # global discovered_at order: p29 (00:30) first ... p00 (00:59) last
+    for i in range(30):
+        want_slot = 30 - i
+        assert got[f"https://h.edu/p{i:02d}"] == (want_slot, (want_slot - 1) * 2.0), i
