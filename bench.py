@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_embedding_neardup_lsh",
     "q_url_canonicalize",
     "q_merge_upsert",
+    "q_politeness_carryover",
 ]
 
 
