@@ -5,14 +5,18 @@ Media in the crawl appear as span rows with ``kind='media'`` and a
 src — scraper schema 'attribute' type). A training pipeline needs the
 bytes themselves plus decode/feature stages. The Spark-side plumbing —
 schema, Arrow batch shape, partitioning, ``mapInPandas`` signatures — is
-real and tested, and so are three codecs — all pure Python/numpy with
-only stdlib zlib: ``decode_bmp`` (uncompressed 24-bit BMP),
-``decode_png`` (real 8-bit PNG — full five-filter unfilter, grey/RGB/
-grey-alpha/RGBA, CRC-checked; ``encode_png`` rotates the row filter so
-every roundtrip exercises all five), and ``decode_wav`` (PCM 16-bit
-mono RIFF/WAVE; ``synth_audio_table`` emits real tones with assertable
-spectral features). ``resize_media`` thumbnails BMP and PNG alike,
-re-encoding in the input's container. The ``decode_fn`` hook stays
+real and tested, and so are four codecs covering the full
+image/audio/video triad — all pure Python/numpy with only stdlib zlib:
+``decode_bmp`` (uncompressed 24-bit BMP), ``decode_png`` (real 8-bit
+PNG — full five-filter unfilter, grey/RGB/grey-alpha/RGBA, CRC-checked;
+``encode_png`` rotates the row filter so every roundtrip exercises all
+five), ``decode_wav`` (PCM 16-bit mono RIFF/WAVE; ``synth_audio_table``
+emits real tones with assertable spectral features), and ``decode_avi``
+(uncompressed-DIB RIFF AVI video with an n-frames/fps/motion feature).
+``resize_media`` thumbnails BMP and PNG alike, re-encoding in the
+input's container; ``sample_frames`` is the video→image bridge — every
+k-th frame becomes a row whose payload is a real BMP, so the image
+stages consume video unchanged. The ``decode_fn`` hook stays
 injectable:
 
 * default ``decode_media`` dispatches by media_type (image→BMP/PNG by
@@ -438,15 +442,236 @@ def synth_audio_table(spark, n: int = 20, sample_rate: int = 8000) -> DataFrame:
     )
 
 
+# -- video: uncompressed-DIB AVI (RIFF), pure Python/numpy --------------------
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal real AVI writer: RIFF 'AVI ' with an uncompressed 24-bit
+    DIB video stream ('00db' frames, bottom-up BGR like BMP pixel data).
+    Every frame must share one (h, w, 3) shape."""
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = frames[0].shape[:2]
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    stride = row_raw + pad
+
+    def dib(frame: np.ndarray) -> bytes:
+        if frame.shape[:2] != (h, w):
+            raise ValueError("frame shape mismatch")
+        bgr = frame[::-1, :, ::-1]
+        if pad:
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, :row_raw] = bgr.reshape(h, row_raw)
+            return padded.tobytes()
+        return bgr.tobytes()
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    frame_bytes = stride * h
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """(RGB frames, fps) from an uncompressed-DIB AVI. Walks the RIFF
+    tree: strh gives fps, strf (BITMAPINFOHEADER) gives dims/bpp, every
+    '00db'/'00dw' chunk in the movi LIST is one bottom-up BGR frame."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI magic")
+    fps, dims, frames_raw = None, None, []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, dims
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body_end = pos + 8 + clen
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(pos + 12, body_end)
+            elif cid == b"strh":
+                stype, _handler, *_rest = struct.unpack_from("<4s4sIHHIIIII", payload, pos + 8)
+                if stype == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, pos + 8 + 20)
+                    fps = max(1, rate // max(scale, 1))
+            elif cid == b"strf" and dims is None:
+                _sz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, pos + 8)
+                if bpp != 24:
+                    raise ValueError(f"unsupported AVI stream (bpp={bpp})")
+                dims = (w, abs(h))
+            elif cid in (b"00db", b"00dw"):
+                frames_raw.append(payload[pos + 8 : body_end])
+            pos = body_end + (clen & 1)
+
+    walk(12, len(payload))
+    if dims is None or not frames_raw:
+        raise ValueError("AVI missing video stream header or frames")
+    w, h = dims
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame")
+        arr = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+            .reshape(h, stride)[:, :row_raw]
+            .reshape(h, w, 3)[::-1, :, ::-1]
+        )
+        frames.append(arr)
+    return frames, fps or 10
+
+
+def decode_avi(payload: bytes, media_type: str = "video") -> np.ndarray:
+    """Real AVI decoder → 8-dim feature: [n_frames/100, fps/60,
+    duration_s, mean gray/255, gray std/128, mean |frame delta|/255
+    (motion), first-frame gray/255, last-frame gray/255]."""
+    frames, fps = _decode_avi_frames(payload)
+    grays = [
+        (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).astype(np.float32)
+        for f in frames
+    ]
+    motion = (
+        float(np.mean([np.abs(a - b).mean() for a, b in zip(grays, grays[1:])]))
+        if len(grays) > 1
+        else 0.0
+    )
+    allg = np.stack(grays)
+    return np.array(
+        [
+            len(frames) / 100.0,
+            fps / 60.0,
+            len(frames) / fps,
+            float(allg.mean()) / 255.0,
+            float(allg.std()) / 128.0,
+            motion / 255.0,
+            float(grays[0].mean()) / 255.0,
+            float(grays[-1].mean()) / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def synth_video_table(spark, n: int = 12, fps: int = 10) -> DataFrame:
+    """Deterministic real AVI rows: a moving-gradient clip whose frame
+    count, dims and drift are pure functions of the ref's crc32."""
+    refs = [f"vid://h.edu/{i}.avi" for i in range(n)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in MEDIA_SCHEMA.fieldNames()}
+            for ref in pdf["media_ref"]:
+                c = zlib.crc32(ref.encode())
+                w = 8 + (c % 8)
+                h = 8 + ((c >> 3) % 8)
+                nf = 4 + ((c >> 6) % 8)
+                base = ((c + 11 * np.arange(h * w * 3)) % 251).astype(np.uint8).reshape(h, w, 3)
+                frames = [np.roll(base, shift=k, axis=1) for k in range(nf)]
+                out["media_ref"].append(ref)
+                out["doc_id"].append(None)
+                out["media_type"].append("video")
+                out["payload"].append(encode_avi(frames, fps))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_s"].append(nf / fps)
+            yield pd.DataFrame(out)
+
+    return spark.createDataFrame([(r,) for r in refs], "media_ref string").mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_s", T.DoubleType(), True),
+        T.StructField("payload", T.BinaryType(), True),  # frame as real BMP
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    max_frames: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Frame-sampling stage (the training-pipeline operator for video
+    columns): decode AVI → take every ``every_n``-th frame (capped at
+    ``max_frames``) → one OUTPUT ROW PER FRAME with the frame re-encoded
+    as a real BMP, timestamped ``frame_idx / fps``. Downstream image
+    stages (extract_features, resize_media) consume the rows unchanged —
+    video becomes just more image rows. Corrupt clips dead-letter as a
+    single error row; batch sizing uses the same payload-size-binned
+    repartition as extract_features."""
+    spark = media.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    sized = media.withColumn(
+        "_szbin", (F.log2(F.length("payload") + F.lit(1))).cast("int")
+    ).repartition(parts, F.col("_szbin"), F.col("media_ref"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in FRAME_SCHEMA.fieldNames()}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    frames, fps = _decode_avi_frames(bytes(payload))
+                    idxs = list(range(0, len(frames), every_n))
+                    if max_frames is not None:
+                        idxs = idxs[:max_frames]
+                    for i in idxs:
+                        h, w = frames[i].shape[:2]
+                        out["media_ref"].append(ref)
+                        out["frame_idx"].append(i)
+                        out["ts_s"].append(i / fps)
+                        out["payload"].append(encode_bmp(w, h, frames[i]))
+                        out["decode_ok"].append(True)
+                        out["error"].append(None)
+                except Exception as e:  # dead-letter, not task failure
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(None)
+                    out["ts_s"].append(None)
+                    out["payload"].append(None)
+                    out["decode_ok"].append(False)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return sized.drop("_szbin").mapInPandas(run, FRAME_SCHEMA)
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Type-dispatching default decoder: image → BMP/PNG (sniffed by
-    magic), audio → WAV — all real pure-Python/numpy(+stdlib zlib)
-    codecs; anything else dead-letters via strict_decode's error
-    (inject a full decoder for other compressed formats)."""
+    magic), audio → WAV, video → uncompressed-DIB AVI — all real
+    pure-Python/numpy(+stdlib zlib) codecs; anything else dead-letters
+    via strict_decode's error (inject a full decoder for other
+    compressed formats)."""
     if media_type == "image":
         return decode_image(payload, media_type)
     if media_type == "audio":
         return decode_wav(payload, media_type)
+    if media_type == "video":
+        return decode_avi(payload, media_type)
     return strict_decode(payload, media_type)
 
 

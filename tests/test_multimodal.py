@@ -215,11 +215,16 @@ def test_decode_media_dispatch(spark):
         encode_wav,
     )
 
+    from course_scraper_spark.operators.multimodal import encode_avi
+
     img = decode_media(encode_bmp(4, 4, np.full((4, 4, 3), 7, dtype=np.uint8)), "image")
     aud = decode_media(encode_wav(np.zeros(80, dtype=np.int16) + 3, 8000), "audio")
-    assert len(img) == 8 and len(aud) == 8
+    vid = decode_media(encode_avi([np.full((4, 4, 3), 7, dtype=np.uint8)] * 2, fps=5), "video")
+    assert len(img) == 8 and len(aud) == 8 and len(vid) == 8
     with pytest.raises(NotImplementedError):
-        decode_media(b"whatever", "video")
+        decode_media(b"whatever", "3d-mesh")  # genuinely unsupported type
+    with pytest.raises(ValueError):
+        decode_media(b"not-an-avi", "video")  # corrupt video dead-letters
 
 
 # -- real PNG codec (stdlib zlib + numpy) -------------------------------------
@@ -312,3 +317,115 @@ def test_mixed_container_pipeline(docs_with_media, spark):
             assert t[:8] == PNG_SIG  # format preserved
         else:
             assert t[:2] == b"BM"
+
+
+# -- real AVI codec + frame sampling (video columns) --------------------------
+
+
+def test_avi_roundtrip_exact_frames():
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import _decode_avi_frames, encode_avi
+
+    h, w = 10, 7  # odd width exercises row padding
+    frames = [
+        ((np.arange(h * w * 3) * (k + 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+        for k in range(5)
+    ]
+    out, fps = _decode_avi_frames(encode_avi(frames, fps=12))
+    assert fps == 12 and len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_avi_decode_features_and_motion():
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import decode_avi, encode_avi
+
+    base = ((np.arange(8 * 8 * 3) * 5) % 256).astype(np.uint8).reshape(8, 8, 3)
+    moving = [np.roll(base, k, axis=1) for k in range(6)]
+    still = [base] * 6
+    f_mov = decode_avi(encode_avi(moving, fps=10))
+    f_still = decode_avi(encode_avi(still, fps=10))
+    assert abs(f_mov[2] - 0.6) < 1e-6  # duration = 6 frames / 10 fps
+    assert f_mov[5] > 0 and f_still[5] == 0  # motion feature separates them
+
+
+def test_avi_corrupt_dead_letters():
+    import numpy as np
+    import pytest as _pytest
+
+    from course_scraper_spark.operators.multimodal import _decode_avi_frames, encode_avi
+
+    good = encode_avi([np.zeros((4, 4, 3), dtype=np.uint8)], fps=5)
+    with _pytest.raises(ValueError, match="magic"):
+        _decode_avi_frames(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError):
+        _decode_avi_frames(good[:60])
+
+
+def test_sample_frames_feeds_image_stages(spark):
+    """Video → frame rows → the EXISTING image stages consume them:
+    every sampled frame is a real BMP that extract_features decodes."""
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import (
+        _decode_avi_frames,
+        extract_features,
+        sample_frames,
+        synth_video_table,
+    )
+
+    media = synth_video_table(spark, n=8).cache()
+    feats = extract_features(media).collect()  # default decoder handles video now
+    assert len(feats) == 8 and all(r.decode_ok for r in feats)
+
+    frames = sample_frames(media, every_n=2).cache()
+    rows = frames.collect()
+    assert all(r.decode_ok for r in rows)
+    # every_n=2 over nf frames -> ceil(nf/2) rows per clip
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for r in media.collect():
+        nf = len(_decode_avi_frames(bytes(r.payload))[0])
+        got = by_ref[r.media_ref]
+        assert len(got) == (nf + 1) // 2, r.media_ref
+        assert sorted(x.frame_idx for x in got) == list(range(0, nf, 2))
+        assert all(abs(x.ts_s - x.frame_idx / 10.0) < 1e-9 for x in got)
+
+    # frame rows ARE image rows: BMP payloads decode through the image path
+    img_rows = frames.select(
+        F.concat_ws("#", "media_ref", F.col("frame_idx").cast("string")).alias("media_ref"),
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("duration_s"),
+    )
+    img_feats = extract_features(img_rows).collect()
+    assert len(img_feats) == len(rows) and all(r.decode_ok for r in img_feats)
+
+
+def test_sample_frames_dead_letters_corrupt_clip(spark):
+    import numpy as np
+
+    from course_scraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        sample_frames,
+    )
+
+    good = encode_avi([np.full((4, 4, 3), 5, dtype=np.uint8)] * 3, fps=5)
+    rows = [
+        ("ok", None, "video", bytearray(good), None, None, 0.6),
+        ("bad", None, "video", bytearray(b"nope"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_ref: r for r in sample_frames(media, every_n=1).collect() if True}
+    oks = [r for r in sample_frames(media, every_n=1).collect() if r.decode_ok]
+    bads = [r for r in sample_frames(media, every_n=1).collect() if not r.decode_ok]
+    assert len(oks) == 3 and len(bads) == 1 and bads[0].media_ref == "bad"
+    assert "ValueError" in bads[0].error
