@@ -32,6 +32,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  simhash near-pairs        q_simhash_pairs
   dedup  embedding cosine          q_embedding_neardup
   dedup  embedding cosine (LSH)    q_embedding_neardup_lsh
+  dedup  embedding keep-list       q_embedding_dup_clusters
   ANN    brute-force top-k         q_ann_topk
   ANN    LSH-bucketed top-k        q_ann_lsh_topk
   ANN    IVF (k-means lists)       q_ivf_topk
@@ -43,7 +44,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   dedup  cluster formation (CC)    q_dup_clusters
   dedup  cluster formation (star)  q_dup_clusters_star
   S7/F   robots Disallow filter    q_robots_disallow
-(36 queries, every one with a hash-exact DuckDB oracle)
+(37 queries, every one with a hash-exact DuckDB oracle)
 """
 
 from __future__ import annotations
@@ -444,6 +445,22 @@ def q_embedding_neardup_lsh(spark, sf):
     )
 
 
+def q_embedding_dup_clusters(spark, sf):
+    """Embedding-modality keep-list: LSH-blocked cosine near-dup pairs →
+    transitive closure → (vec_id, cluster_id, is_canonical). The same
+    cluster-formation machinery as the text path (q_dup_clusters), over
+    the vector pairs — a multimodal dedup decision, not just pairs."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    pairs = SIM.lsh_near_dup_pairs(emb, dim=64, n_planes=4, n_tables=2, threshold=0.35)
+    return D.dup_clusters(
+        emb, pairs, id_col="vec_id", a_col="id_a", b_col="id_b"
+    ).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
+
+
 _QUERY_VEC_ID = 0
 
 
@@ -575,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters_star": q_dup_clusters_star,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "q_embedding_dup_clusters": q_embedding_dup_clusters,
         "q_ann_topk": q_ann_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ivf_topk": q_ivf_topk,
@@ -1006,6 +1024,32 @@ FROM cand
 JOIN embeddings x ON x.vec_id = id_a
 JOIN embeddings y ON y.vec_id = id_b
 WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+    # embedding keep-list: the LSH pair SQL above + the same recursive
+    # transitive-closure CTE as q_dup_clusters, over vec ids
+    out["q_embedding_dup_clusters"] = f"""
+WITH RECURSIVE
+{bkt_ctes},
+cand AS ({table_joins}),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN embeddings x ON x.vec_id = id_a
+  JOIN embeddings y ON y.vec_id = id_b
+  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.35),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.node = e.dst),
+comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.vec_id,
+       coalesce(c.comp, d.vec_id) AS cluster_id,
+       (d.vec_id = coalesce(c.comp, d.vec_id)) AS is_canonical
+FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id
 """
 
     # ANN LSH top-k: identical deterministic hyperplanes (md5-derived, dim
