@@ -249,16 +249,20 @@ def minhash_signatures_rowwise(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, k: int = 16, bands: int = 4,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = "auto",
 ) -> DataFrame:
     """Band the signature into ``bands`` groups of k/bands rows; docs
     sharing any band bucket become candidate pairs (doc_a < doc_b).
 
-    ``max_bucket_rows`` turns on the loud saturation guard
+    ``max_bucket_rows`` is the loud saturation guard
     (``similarity.check_bucket_load``): per-bucket pair space is rows²,
     so a silently-hot band bucket (near-constant signatures — e.g. a
     corpus of templated boilerplate) is the quadratic failure mode of
-    every banding join. One cheap count-agg over the bucket keys."""
+    every banding join. One cheap count-agg over the bucket keys. The
+    default ``'auto'`` derives the threshold from the corpus size
+    (``similarity.bucket_rows_for_corpus``; md5 band buckets are
+    full-width hashes, so expected occupancy ≈ 1 and the floor
+    governs); None disables — explicit opt-out, not the default."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -295,11 +299,14 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.7,
     shingle_df: DataFrame | None = None,
+    max_bucket_rows: int | str | None = "auto",
 ) -> DataFrame:
-    """LSH candidates verified by true Jaccard ≥ threshold."""
+    """LSH candidates verified by true Jaccard ≥ threshold. The banding
+    saturation guard defaults ON (``max_bucket_rows='auto'``, see
+    :func:`lsh_candidate_pairs`)."""
     sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n).cache()
     sigs = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh)
-    cand = lsh_candidate_pairs(sigs, k, bands)
+    cand = lsh_candidate_pairs(sigs, k, bands, max_bucket_rows=max_bucket_rows)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -412,7 +419,7 @@ def simhash_pandas(
 
 def simhash_near_pairs(
     sig_df: DataFrame, max_hamming: int = 3, n_blocks: int = 4, bits: int = 32,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over the ``bits``-bit signature.
 
@@ -432,10 +439,13 @@ def simhash_near_pairs(
     buckets/band and bucket cardinality keeps growing with the corpus
     (tests/test_dedup_ops.py pins this). Arithmetic shiftright's sign
     extension on negative 64-bit signatures is removed by the block
-    mask. ``max_bucket_rows`` turns on the loud saturation guard
+    mask. ``max_bucket_rows`` is the loud saturation guard
     (``similarity.check_bucket_load``) over the (band, block) bucket
-    keys — a saturated 32-bit banding then raises instead of silently
-    going quadratic."""
+    keys — a saturated 32-bit banding raises instead of silently going
+    quadratic. The default ``'auto'`` derives the threshold from the
+    corpus and the ``n_blocks × 2^block_bits`` bucket space (the
+    ceiling clamp is what catches uniform 32-bit saturation at ≥10⁸
+    docs); None disables — explicit opt-out, not the default."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"banding needs n_blocks > max_hamming for exact recall "
@@ -462,6 +472,7 @@ def simhash_near_pairs(
             blocks.select(F.concat_ws(":", "band", "blk").alias("_bucket")),
             "_bucket",
             max_bucket_rows,
+            n_bucket_space=n_blocks * (1 << min(block_bits, 40)),
         )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
@@ -686,7 +697,14 @@ def dup_clusters(
     (a~b, b~c ⇒ {a,b,c} is one cluster even if a~c was never a candidate
     pair). cluster_id = min doc id in the component; the canonical doc
     (the one a training pipeline keeps) is the cluster minimum; docs in
-    no pair are their own singleton cluster."""
+    no pair are their own singleton cluster.
+
+    This is the GENERIC closure stage — it accepts any pair source. For
+    text cluster formation at scale use :func:`simhash_dup_clusters`
+    (the production entry: 64-bit signatures + guarded banding); feeding
+    this function 32-bit simhash pairs at ≥10⁸ docs saturates the
+    banding — the pair generators' default ``max_bucket_rows='auto'``
+    guard raises on exactly that."""
     comp = connected_components(pairs, a_col, b_col, method=cc_method)
     ids = all_ids.select(F.col(id_col).alias("doc_id")).distinct()
     out = ids.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
@@ -702,7 +720,7 @@ def simhash_dup_clusters(
     bits: int = 64,
     n_blocks: int = 4,
     max_hamming: int = 3,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = "auto",
     cc_method: str = "auto",
 ) -> DataFrame:
     """SCALE-DEFAULT cluster formation: simhash near-pairs → transitive
@@ -715,8 +733,10 @@ def simhash_dup_clusters(
     threshold — O(log n) rounds even for adversarial-diameter
     components). The oracle query q_dup_clusters pins the 32-bit
     configuration explicitly for its DuckDB mirror; production cluster
-    formation goes through THIS entry point. Pass ``max_bucket_rows`` to
-    get the loud banding saturation guard."""
+    formation goes through THIS entry point. The banding saturation
+    guard defaults ON (``max_bucket_rows='auto'`` — threshold derived
+    from the corpus, ``similarity.bucket_rows_for_corpus``); pass None
+    only to opt out explicitly."""
     sigs = simhash_pandas(df, text_col, id_col, bits=bits)
     pairs = simhash_near_pairs(
         sigs, max_hamming=max_hamming, n_blocks=n_blocks, bits=bits,

@@ -62,7 +62,31 @@ RENDER_FALLBACK = frozenset({403, 404, 429, None})
 def NO_SLEEP(_s: float) -> None:
     """Explicit no-backoff sentinel for tests/bench over deterministic
     synthetic transports (retrying later changes nothing there). The
-    default ``sleep_fn=None`` resolves to real ``time.sleep``."""
+    default ``sleep_fn=REAL_SLEEP`` resolves to real ``time.sleep``."""
+
+
+class _RealSleep:
+    """Default sentinel: real ``time.sleep`` backoff. A distinct object
+    (not None) so the pre-round-4 API contract — where ``sleep_fn=None``
+    meant NO sleeping — fails loudly instead of silently blocking up to
+    ~31 s per failing URL: passing literal None now raises and points at
+    :data:`NO_SLEEP`."""
+
+    def __call__(self, s: float) -> None:
+        time.sleep(s)
+
+
+REAL_SLEEP = _RealSleep()
+
+
+def _resolve_sleep(sleep_fn) -> Callable[[float], None]:
+    if sleep_fn is None:
+        raise TypeError(
+            "sleep_fn=None is ambiguous: it used to mean 'no backoff' and "
+            "now defaults to real time.sleep. Pass NO_SLEEP to skip "
+            "backoff waits, or omit the argument for real sleeps."
+        )
+    return sleep_fn
 
 
 @dataclass
@@ -151,7 +175,7 @@ def _jitter(url: str, attempt: int) -> float:
 def run_ladder(
     transport,
     url: str,
-    sleep_fn: Callable[[float], None] | None = None,
+    sleep_fn: Callable[[float], None] = REAL_SLEEP,
     max_retries: int = MAX_RETRIES,
     base_backoff_s: float = BASE_BACKOFF_S,
 ) -> tuple[bool, int | None, str | None, str | None, int]:
@@ -160,11 +184,12 @@ def run_ladder(
     The render_utils.py ladder, per URL: GET; success below 400; 404 goes
     straight to render; 403/429/5xx/connection errors retry with
     exponential backoff + jitter; after retries, 403/404/429 and
-    connection errors try the dynamic-render branch. ``sleep_fn=None``
-    (the default) backs off with real ``time.sleep`` — pass
-    :data:`NO_SLEEP` for deterministic synthetic transports where
-    retrying later changes nothing."""
-    sleep = time.sleep if sleep_fn is None else sleep_fn
+    connection errors try the dynamic-render branch. The default backs
+    off with real ``time.sleep`` — pass :data:`NO_SLEEP` for
+    deterministic synthetic transports where retrying later changes
+    nothing (literal ``None`` raises; it meant no-backoff in the old
+    API)."""
+    sleep = _resolve_sleep(sleep_fn)
     attempts = 0
     r = FetchResponse(None, None, None)
     for i in range(max_retries + 1):
@@ -197,7 +222,7 @@ def fetch_http(
     wave: DataFrame,
     transport_factory: Callable[[], object],
     url_col: str = "url",
-    sleep_fn: Callable[[float], None] | None = None,
+    sleep_fn: Callable[[float], None] = REAL_SLEEP,
     max_retries: int = MAX_RETRIES,
     base_backoff_s: float = BASE_BACKOFF_S,
 ) -> DataFrame:
@@ -211,12 +236,13 @@ def fetch_http(
     them in seen (dead-fetch path) exactly like the join path."""
     out_schema = T.StructType(list(wave.schema.fields) + _FETCH_FIELDS)
     in_cols = list(wave.columns)
+    sleep = _resolve_sleep(sleep_fn)  # driver-side: bad None fails fast
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()  # once per partition: session reuse
         for pdf in batches:
             res = [
-                run_ladder(transport, u, sleep_fn, max_retries, base_backoff_s)
+                run_ladder(transport, u, sleep, max_retries, base_backoff_s)
                 for u in pdf[url_col]
             ]
             out = pdf[in_cols].copy()
@@ -241,7 +267,7 @@ def fetch_extract_http(
     wave: DataFrame,
     transport_factory: Callable[[], object],
     url_col: str = "url",
-    sleep_fn: Callable[[float], None] | None = None,
+    sleep_fn: Callable[[float], None] = REAL_SLEEP,
     max_retries: int = MAX_RETRIES,
     base_backoff_s: float = BASE_BACKOFF_S,
     with_stats: bool = False,
@@ -282,6 +308,7 @@ def fetch_extract_http(
     )
     if with_stats and "host" not in wave.columns:
         raise ValueError("with_stats=True requires a 'host' column on the wave")
+    sleep = _resolve_sleep(sleep_fn)  # driver-side: bad None fails fast
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()  # once per partition: session reuse
@@ -293,7 +320,7 @@ def fetch_extract_http(
                 pdf["source_id"], pdf[url_col], pdf["seq"], pdf["depth"], pdf["is_mc"], hosts
             ):
                 ok, _status, _mode, html, attempts = run_ladder(
-                    transport, url, sleep_fn, max_retries, base_backoff_s
+                    transport, url, sleep, max_retries, base_backoff_s
                 )
                 if with_stats:
                     s = stats.setdefault((sid, host), [0, 0, 0])

@@ -120,6 +120,10 @@ def decode_bmp(payload: bytes, media_type: str = "image") -> np.ndarray:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# upper bound for the pure-Python PNG unfilter path (Average/Paeth rows
+# are per-byte loops): ~1 MP ≈ low seconds per image worst-case; larger
+# payloads dead-letter unless a real codec is injected (strict_decode)
+PNG_MAX_PIXELS = 1_048_576
 
 
 def encode_png(width: int, height: int, rgb: np.ndarray, color_type: int = 2) -> bytes:
@@ -191,12 +195,21 @@ def encode_png(width: int, height: int, rgb: np.ndarray, color_type: int = 2) ->
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def _decode_png_pixels(payload: bytes) -> np.ndarray:
+def _decode_png_pixels(payload: bytes, max_pixels: int = PNG_MAX_PIXELS) -> np.ndarray:
     """(h, w, 3) RGB uint8 from an 8-bit non-interlaced PNG (grey, RGB,
     grey+alpha or RGBA; alpha is dropped, grey replicates to 3 channels).
     Pure Python + stdlib zlib — full unfilter (None/Sub/Up/Average/
     Paeth). Raises on bad signature, CRC mismatch, truncated chunks, or
-    unsupported bit depth/interlace."""
+    unsupported bit depth/interlace.
+
+    None/Up/Sub rows unfilter as whole-row numpy ops (Sub is a per-lane
+    running sum — ``cumsum % 256`` over a (pixels, channels) view);
+    Average/Paeth carry an inherently sequential left-neighbor
+    dependency and stay per-byte loops. Because decode_media sniff-routes
+    every crawled PNG here, ``max_pixels`` (default ``PNG_MAX_PIXELS``)
+    bounds the worst case: an oversized image raises — dead-lettering the
+    row (ST6) — instead of spending minutes in the scalar loops; wire a
+    real codec via the ``strict_decode`` injection point to lift it."""
     if len(payload) < 8 or payload[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, idat = 8, None, bytearray()
@@ -224,6 +237,12 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color_type={color_type}, interlace={interlace})"
         )
+    if width * height > max_pixels:
+        raise ValueError(
+            f"PNG too large for the pure-Python unfilter path "
+            f"({width}x{height} > {max_pixels} px); inject a real codec "
+            f"via strict_decode/decode_fn to handle it"
+        )
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -236,10 +255,8 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
         if ft == 0:
             cur = row
-        elif ft == 1:  # Sub
-            cur = row.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) % 256
+        elif ft == 1:  # Sub: per-lane running sum, mod-256-safe cumsum
+            cur = row.reshape(-1, ch).cumsum(axis=0).reshape(-1) % 256
         elif ft == 2:  # Up
             cur = (row + prev) % 256
         elif ft == 3:  # Average
@@ -304,12 +321,17 @@ def _synth_bmp(ref: str) -> tuple[bytes, int, int]:
 def _synth_png(ref: str) -> tuple[bytes, int, int]:
     """Deterministic small real PNG from a media_ref — same pixel recipe
     as :func:`_synth_bmp`, so the two containers are feature-identical
-    for the same ref; rotates through grey/RGB/RGBA color types."""
+    for the same ref; rotates through RGB/RGBA color types (both keep
+    all three channels)."""
     c = zlib.crc32(ref.encode())
     w = 16 + (c % 16)
     h = 16 + ((c >> 4) % 16)
     px = ((c + 7 * np.arange(w * h * 3)) % 251).astype(np.uint8).reshape(h, w, 3)
-    color_type = (0, 2, 6)[c % 3]
+    # rotate RGB/RGBA only: color_type 0 would keep just the R channel
+    # (the decoder replicates grey to RGB), breaking the BMP/PNG
+    # feature-identity contract for ~1/3 of refs — greyscale decode is
+    # covered separately by the roundtrip tests
+    color_type = (2, 6)[c % 2]
     return encode_png(w, h, px, color_type=color_type), w, h
 
 

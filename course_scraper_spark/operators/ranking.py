@@ -51,6 +51,13 @@ def assign_seq_with_totals(
     window (single shuffle, no sampling pass); big inputs use the
     two-phase range ranking so no group ever funnels through one task.
 
+    NOTE: the totals come from a driver collect that materializes the
+    whole upstream pipeline BEFORE the ranked output is consumed —
+    callers that materialize the ranked result anyway (the crawl loops
+    checkpoint their delta every wave) should use :func:`assign_seq_lazy`
+    and count groups from the materialized result instead, halving the
+    pipeline executions per wave.
+
     Rows must be unique on (group_col, *order_cols).
     """
     totals_rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt")).collect()
@@ -61,7 +68,47 @@ def assign_seq_with_totals(
     if n_total <= small_threshold:
         w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(seq_col, F.row_number().over(w).cast("long")), totals
+    out, two_phase_totals = _two_phase_rank(df, group_col, order_cols, seq_col, num_partitions)
+    return out, two_phase_totals
 
+
+def assign_seq_lazy(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    est_rows: int | None = None,
+    num_partitions: int | None = None,
+    small_threshold: int = 200_000,
+) -> DataFrame:
+    """Rank WITHOUT the upfront driver totals collect — the loop-body
+    form (round-5 jobs/wave fold). The crawl loops materialize their
+    per-wave delta anyway (store checkpoint), so the per-source counts
+    that drive ``seq_base`` come from a cheap post-materialization agg
+    over checkpointed blocks instead of a pre-job that runs the whole
+    candidate pipeline a second time.
+
+    ``est_rows`` picks the strategy (an upper-bound estimate is fine):
+    ≤ ``small_threshold`` → one per-group window, fully lazy, ZERO extra
+    jobs; above → the two-phase range ranking, whose internal
+    checkpoint + per-partition counts are its only jobs and whose result
+    is exact regardless of the estimate. Overestimating costs two small
+    jobs; underestimating would funnel a mega-wave through one window
+    task — so estimate with the branching upper bound, not the mean."""
+    if est_rows is not None and est_rows > small_threshold:
+        out, _ = _two_phase_rank(df, group_col, order_cols, seq_col, num_partitions)
+        return out
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
+
+
+def _two_phase_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    seq_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, dict]:
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(group_col), *[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("_pid", F.spark_partition_id())

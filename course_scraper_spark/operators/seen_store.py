@@ -52,12 +52,14 @@ class PartitionedSeenStore:
         keys: tuple[str, ...] = ("source_id", "url"),
         n_partitions: int | None = None,
         compact_every: int = 8,
+        schema=None,
     ):
         self.spark = spark
         self.keys = list(keys)
         self.n_partitions = n_partitions or spark.sparkContext.defaultParallelism
         self.compact_every = compact_every
         self.deltas: list[DataFrame] = []
+        self._schema = schema  # else captured from the first delta
 
     def _checkpoint_partitioned(self, df: DataFrame) -> DataFrame:
         prev = self.spark.conf.get(AQE_CONF, "true")
@@ -75,6 +77,8 @@ class PartitionedSeenStore:
         """Partition + checkpoint one wave's new rows; returns the
         materialized delta (callers reuse it as the next wave)."""
         d = self._checkpoint_partitioned(df)
+        if self._schema is None:
+            self._schema = d.schema
         self.deltas.append(d)
         if len(self.deltas) >= 2 * self.compact_every:
             self.compact()
@@ -114,14 +118,26 @@ class PartitionedSeenStore:
             m = d.select(*cols).join(keys_df.select(*self.keys), self.keys, "left_semi")
             out = m if out is None else out.unionByName(m)
         if out is None:
-            raise ValueError("empty seen store")
+            return self._empty(cols)
         return out
 
     def union(self) -> DataFrame:
         """The full seen set (reads, previews, the final result)."""
         if not self.deltas:
-            raise ValueError("empty seen store")
+            return self._empty()
         out = self.deltas[0]
         for d in self.deltas[1:]:
             out = out.unionByName(d)
         return out
+
+    def _empty(self, cols: list[str] | None = None) -> DataFrame:
+        """Correctly-typed empty DataFrame for the wave-0 case, so
+        callers need no empty-store special-casing. Needs a schema: set
+        one at construction (``schema=``) or add a delta first."""
+        if self._schema is None:
+            raise ValueError(
+                "empty seen store with no schema — pass schema= at "
+                "construction or add_delta() first"
+            )
+        df = self.spark.createDataFrame([], self._schema)
+        return df.select(*cols) if cols is not None else df

@@ -80,20 +80,72 @@ def planes_for_corpus(n_vectors: int, target_bucket_size: int = 256, min_planes:
     return max(min_planes, math.ceil(math.log2(max(n_vectors / target_bucket_size, 1.0))))
 
 
+def bucket_rows_for_corpus(
+    n_rows: int,
+    n_bucket_space: int | None = None,
+    skew_factor: int = 32,
+    floor: int = 4096,
+    ceiling: int = 65_536,
+) -> int:
+    """Default saturation threshold for a banding/bucket join, the
+    ``planes_for_corpus`` twin for guards: ``skew_factor`` × the expected
+    uniform occupancy (``n_rows / n_bucket_space``), clamped to
+    [floor, ceiling].
+
+    * ``floor`` keeps small corpora from tripping on ordinary duplicate
+      families and toy-scale skew (a 4096-row bucket is ~8M pairs —
+      one task's work; measured: sf0.1's 5k docs put 1338 rows in the
+      hottest 32-bit band bucket, 68× the mean but trivially cheap);
+    * ``ceiling`` is the absolute per-bucket cost bound: a 65k-row bucket
+      is ~2·10⁹ candidate pairs, the most any single shuffle key should
+      ever own — and it's exactly how UNDER-PARAMETERIZED schemes fail
+      (32-bit simhash at 10⁸ docs has a 390k-row *expected* bucket:
+      scaling the threshold with that expectation would bless the
+      saturation the guard exists to catch).
+    * ``n_bucket_space=None`` means the bucket key is a full-width hash
+      (minhash md5 bands): expected occupancy ≈ 1, so the floor governs.
+
+    A legitimately mega-duplicated corpus (one family > threshold) also
+    raises — by design: that family's pair space IS quadratic, and the
+    standard pipeline order (exact_dedup first) removes it before any
+    banding join."""
+    mean = 1.0 if n_bucket_space is None else n_rows / max(1, n_bucket_space)
+    return max(floor, min(ceiling, int(skew_factor * max(1.0, mean))))
+
+
 def check_bucket_load(
-    bucketed: DataFrame, bucket_col: str = "_bucket", max_bucket_rows: int | None = None
+    bucketed: DataFrame,
+    bucket_col: str = "_bucket",
+    max_bucket_rows: int | str | None = None,
+    n_bucket_space: int | None = None,
 ) -> int:
     """Loud saturation guard: returns the largest bucket's row count and
     raises if it exceeds ``max_bucket_rows``. A silently-saturated bucket
     is the failure mode of every fixed-parameter LSH — per-bucket pair
     space is rows², so a 4M-row bucket is 16·10¹² pairs. One cheap
-    count-agg job over the bucket keys (never the vectors)."""
-    row = bucketed.groupBy(bucket_col).count().agg(F.max("count").alias("mx")).first()
-    mx = int(row.mx or 0)
+    count-agg job over the bucket keys (never the vectors).
+
+    ``max_bucket_rows='auto'`` derives the threshold from the SAME
+    single agg (no extra job): :func:`bucket_rows_for_corpus` over the
+    table's total rows and the scheme's theoretical bucket space
+    (``n_bucket_space`` — the caller's band×block-value count; None for
+    full-width hash buckets). The observed bucket count is deliberately
+    NOT used: a saturated banding collapses to few observed buckets,
+    which would scale the threshold up right when it must fire."""
+    row = (
+        bucketed.groupBy(bucket_col)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+        .first()
+    )
+    mx, total = int(row.mx or 0), int(row.total or 0)
+    if max_bucket_rows == "auto":
+        max_bucket_rows = bucket_rows_for_corpus(total, n_bucket_space)
     if max_bucket_rows is not None and mx > max_bucket_rows:
         raise RuntimeError(
             f"LSH bucket saturation: largest bucket holds {mx} rows "
-            f"(> {max_bucket_rows}); raise n_planes (see planes_for_corpus)"
+            f"(> {max_bucket_rows}); raise n_planes/bits (see "
+            f"planes_for_corpus) or exact-dedup the mega-family first"
         )
     return mx
 
@@ -147,7 +199,7 @@ def lsh_near_dup_pairs(
     n_planes: int | None = 4,
     n_tables: int = 2,
     threshold: float = 0.95,
-    max_bucket_rows: int | None = None,
+    max_bucket_rows: int | str | None = "auto",
 ) -> DataFrame:
     """Cosine near-dup pairs via LSH blocking — the scale path the
     blocked brute force in ``dedup.embedding_near_dup`` documents.
@@ -163,8 +215,10 @@ def lsh_near_dup_pairs(
 
     ``n_planes=None`` derives the plane count from the corpus size
     (:func:`planes_for_corpus`) — a fixed count saturates as N grows.
-    ``max_bucket_rows`` turns on the loud per-table saturation guard
-    (:func:`check_bucket_load`)."""
+    ``max_bucket_rows`` is the loud per-table saturation guard
+    (:func:`check_bucket_load`); the default ``'auto'`` derives its
+    threshold from the corpus and the ``n_tables × 2^n_planes`` bucket
+    space (None disables — opt-out, not the default)."""
     if n_planes is None:
         n_planes = planes_for_corpus(emb.count())
     # ALL tables' buckets from ONE corpus scan (struct array + explode),
@@ -186,6 +240,7 @@ def lsh_near_dup_pairs(
             buckets.select(F.concat_ws(":", "t", "bkt").alias("_bucket")),
             "_bucket",
             max_bucket_rows,
+            n_bucket_space=n_tables * (1 << min(n_planes, 40)),
         )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (

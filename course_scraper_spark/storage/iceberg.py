@@ -109,8 +109,15 @@ class IcebergTable:
         return w
 
     def _current_snapshot_id(self) -> int:
+        # Read the main branch HEAD from the refs metadata table, not the
+        # latest row of `.snapshots`: snapshot ids are random longs and
+        # committed_at has millisecond granularity, so two rapid commits
+        # in the same millisecond make an ORDER BY committed_at pick
+        # nondeterministically — the refs pointer is the authoritative
+        # current snapshot.
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ident}.snapshots ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self.ident}.refs "
+            "WHERE name = 'main' AND type = 'BRANCH'"
         ).first()
         if row is None:
             raise ValueError(f"{self.ident} has no snapshots")
@@ -165,12 +172,43 @@ class IcebergTable:
             clauses.append("WHEN NOT MATCHED THEN INSERT *")
         if not clauses:
             raise ValueError("merge with update_cols=[] and insert=False is a no-op")
-        self.spark.sql(
-            f"MERGE INTO {self.ident} t USING {view} s ON {cond} " + " ".join(clauses)
-        )
-        self.spark.catalog.dropTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.ident} t USING {view} s ON {cond} " + " ".join(clauses)
+            )
+        finally:
+            # a failed MERGE must not leak the temp view (the name is
+            # derived from the ident, so a leaked view also shadows the
+            # next merge's source)
+            self.spark.catalog.dropTempView(view)
         self._tag(tag)
         return self._current_snapshot_id()
+
+    def last_commit_tally(self) -> tuple[int, int]:
+        """(inserted, updated) row counts of the latest commit from the
+        current snapshot's native summary — the A6 tally without the
+        emulation's precompute join. Copy-on-write MERGE rewrites whole
+        files: ``deleted-records`` counts every row of the replaced
+        files (updated rows AND unchanged rows carried over) and
+        ``added-records`` counts the rewritten rows plus the genuinely
+        new ones, so ``inserted = added - deleted`` is EXACT while
+        ``updated = deleted-records`` is an upper bound (tight when the
+        merge touches most rows of each rewritten file; with
+        ``bucket(n, host)`` partitioning a wave's merge touches exactly
+        its hosts' files, keeping the bound close). Exact per-row
+        updated counts need the changelog procedure
+        (``create_changelog_view``); callers that require exactness use
+        the precompute join in operators/merge.py."""
+        row = self.spark.sql(
+            f"SELECT summary FROM {self.ident}.snapshots "
+            f"WHERE snapshot_id = {self._current_snapshot_id()}"
+        ).first()
+        if row is None:
+            raise ValueError(f"{self.ident} has no snapshots")
+        summary = dict(row.summary)
+        added = int(summary.get("added-records", 0))
+        deleted = int(summary.get("deleted-records", 0))
+        return max(0, added - deleted), deleted
 
     # -- reads -------------------------------------------------------------
     def read(self, snapshot_id: int | None = None, tag: str | None = None) -> DataFrame:
@@ -182,7 +220,24 @@ class IcebergTable:
                     self.spark.read.option("snapshot-id", snapshot_id).table(self.ident)
                 )
             return self.spark.table(self.ident)
-        except Exception as e:  # expired snapshot / unknown tag -> contract error
+        except Exception as e:
+            # Contract error ONLY for the expired/unknown-snapshot cases;
+            # genuine failures (permissions, network, bad SQL) propagate
+            # untouched instead of masquerading as a missing snapshot.
+            from pyspark.errors import AnalysisException
+
+            msg = str(e)
+            snapshotish = isinstance(e, AnalysisException) or any(
+                marker in msg
+                for marker in (
+                    "Cannot find snapshot",
+                    "Cannot find matching snapshot",
+                    "snapshot-id",
+                    "VERSION AS OF",
+                )
+            )
+            if not snapshotish:
+                raise
             raise KeyError(
                 f"snapshot/tag not readable on {self.ident} "
                 f"(expired or unknown): {e}"

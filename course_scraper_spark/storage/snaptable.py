@@ -101,16 +101,18 @@ class SnapshotTable:
         n = int(self.props["n_buckets"])
         return df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(bc)), F.lit(n)).cast("int"))
 
-    def _write_dir(self, df: DataFrame) -> tuple[str, list[int]]:
+    def _write_dir(self, df: DataFrame) -> tuple[str, list[int], int]:
         b = self._bucketed(df).repartition(F.col("_bucket"))
         rel = f"s{len(self.commits)}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, "data", rel)
         b.write.mode("overwrite").parquet(out)
-        buckets = [
-            r._bucket
-            for r in self.spark.read.parquet(out).select("_bucket").distinct().collect()
-        ]
-        return rel, sorted(buckets)
+        # one read-back job yields both the touched-bucket list and the
+        # row count (the Iceberg summary's added-records twin)
+        stats = (
+            self.spark.read.parquet(out).groupBy("_bucket").count().collect()
+        )
+        buckets = sorted(r._bucket for r in stats)
+        return rel, buckets, sum(r["count"] for r in stats)
 
     def _commit(self, op: str, rel: str | None, buckets, tag, meta=None) -> int:
         cid = len(self.commits)
@@ -122,12 +124,18 @@ class SnapshotTable:
 
     # -- writes ------------------------------------------------------------
     def append(self, df: DataFrame, tag: str | None = None, meta: dict | None = None) -> int:
-        rel, buckets = self._write_dir(df)
-        return self._commit("append", rel, buckets, tag, meta)
+        rel, buckets, n = self._write_dir(df)
+        m = dict(meta or {})
+        m.setdefault("inserted", n)
+        m.setdefault("updated", 0)
+        return self._commit("append", rel, buckets, tag, m)
 
     def overwrite(self, df: DataFrame, tag: str | None = None, meta: dict | None = None) -> int:
-        rel, _ = self._write_dir(df)
-        return self._commit("overwrite", rel, None, tag, meta)
+        rel, _, n = self._write_dir(df)
+        m = dict(meta or {})
+        m.setdefault("inserted", n)
+        m.setdefault("updated", 0)
+        return self._commit("overwrite", rel, None, tag, m)
 
     def merge(
         self,
@@ -158,10 +166,11 @@ class SnapshotTable:
             scope = target
 
         cond = [scope[k].eqNullSafe(src[k]) for k in on]
-        joined = scope.alias("t").join(src.alias("s"), cond, "full_outer")
+        joined = scope.alias("t").join(src.alias("s"), cond, "full_outer").persist()
 
         matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
         t_only = F.col(f"s.{on[0]}").isNull()
+        s_only = F.col(f"t.{on[0]}").isNull()
         # update_cols: None = update every column on match; [] = update none
         # (insert-only MERGE, K1 semantics, storage.py:227-246)
         upd = set(cols if update_cols is None else update_cols)
@@ -179,10 +188,35 @@ class SnapshotTable:
             keys = scope.select(*on)
             result = result.join(keys, on, "left_semi")
 
-        rel, buckets = self._write_dir(result)
+        # insert/update tally — the Iceberg snapshot summary's twin
+        # (surfaced by last_commit_tally). One small agg over the
+        # already-persisted scoped join; matched rows only count as
+        # updates when a WHEN MATCHED clause exists (upd non-empty),
+        # mirroring MERGE semantics.
+        counts = joined.agg(
+            F.sum(matched.cast("long")).alias("m"),
+            F.sum(s_only.cast("long")).alias("i"),
+        ).first()
+        n_updated = int(counts["m"] or 0) if upd else 0
+        n_inserted = int(counts["i"] or 0) if insert else 0
+
+        rel, buckets, _ = self._write_dir(result)
+        joined.unpersist()
         return self._commit(
-            "merge", rel, touched if touched is not None else None, tag
+            "merge", rel, touched if touched is not None else None, tag,
+            {"inserted": n_inserted, "updated": n_updated},
         )
+
+    def last_commit_tally(self) -> tuple[int, int]:
+        """(inserted, updated) of the latest data commit — interface
+        parity with ``IcebergTable.last_commit_tally``. The emulation's
+        counts are EXACT (computed from the merge join itself); the
+        Iceberg backend's updated count is a copy-on-write file-level
+        upper bound (see iceberg.py)."""
+        for c in reversed(self.commits):
+            if c.op in ("append", "overwrite", "merge"):
+                return int(c.meta.get("inserted", 0)), int(c.meta.get("updated", 0))
+        raise ValueError("no data commits yet")
 
     # -- reads -------------------------------------------------------------
     def _live_dirs(self, snapshot_id: int | None = None) -> dict[str, tuple[str, set[int]]]:

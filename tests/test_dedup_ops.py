@@ -353,3 +353,44 @@ def test_simhash_dup_clusters_scale_default(spark, docs):
     # the exact-dup behavior plus full key coverage
     assert set(out) == set(want)
     assert out[1] == (1, True) and out[4][0] == 1 and not out[4][1]
+
+
+def test_saturation_guard_default_auto(spark):
+    """Round-5: the guard is ON by default — a saturated corpus (one
+    boilerplate family larger than the derived threshold) raises from
+    simhash_near_pairs, lsh_candidate_pairs AND the production
+    simhash_dup_clusters entry without any opt-in; None is the explicit
+    opt-out."""
+    n = 4500  # > the 4096-row floor of bucket_rows_for_corpus
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(n)]
+    same = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = D.simhash(same).cache()
+    with pytest.raises(RuntimeError, match="saturation"):
+        D.simhash_near_pairs(sigs)  # guard fires eagerly at call time
+    # explicit opt-out still works
+    assert D.simhash_near_pairs(sigs, max_bucket_rows=None).count() > 0
+
+    mh = D.minhash_signatures(same).cache()
+    with pytest.raises(RuntimeError, match="saturation"):
+        D.lsh_candidate_pairs(mh)
+    assert D.lsh_candidate_pairs(mh, max_bucket_rows=None).count() > 0
+
+    with pytest.raises(RuntimeError, match="saturation"):
+        D.simhash_dup_clusters(same)
+
+
+def test_bucket_rows_for_corpus_formula():
+    """Threshold derivation: floor for small/hash-bucket corpora,
+    skew×mean in the middle, ceiling-clamped where uniform occupancy
+    itself is the failure (32-bit simhash at 1e8 docs)."""
+    from course_scraper_spark.operators.similarity import bucket_rows_for_corpus
+
+    assert bucket_rows_for_corpus(500, None) == 4096         # floor
+    assert bucket_rows_for_corpus(500, 1024) == 4096         # floor
+    # mid-scale: 1e8 rows over 4*65536 buckets -> mean ~381 -> 32x mean
+    mid = bucket_rows_for_corpus(10**8, 4 * 65536)
+    assert 4096 < mid < 65536 and mid == int(32 * (10**8 / (4 * 65536)))
+    # 32-bit saturation regime: expected mean 390k/bucket would bless
+    # saturation if the threshold scaled with it; the ceiling catches it
+    assert bucket_rows_for_corpus(4 * 10**8, 4 * 256) == 65536

@@ -96,8 +96,8 @@ def test_ladder_connection_error_retries_then_renders():
 
 
 def test_default_sleep_is_real_time_sleep(monkeypatch):
-    """sleep_fn=None (the default) must back off for real — the
-    production contract; NO_SLEEP is the explicit test/bench opt-out."""
+    """The REAL_SLEEP default must back off for real — the production
+    contract; NO_SLEEP is the explicit test/bench opt-out."""
     import course_scraper_spark.operators.fetch as fetch_mod
 
     slept = []
@@ -105,6 +105,18 @@ def test_default_sleep_is_real_time_sleep(monkeypatch):
     t = ScriptedTransport(503, "static")
     run_ladder(t, "https://a.edu/s")  # default sleep_fn
     assert len(slept) == 5 and slept[0] >= 1.0
+
+
+def test_sleep_fn_none_raises():
+    """Literal sleep_fn=None is rejected loudly: under the pre-round-4
+    API it meant 'no backoff', so silently treating it as real
+    time.sleep would block old callers for up to ~31 s per failing URL.
+    The error points at NO_SLEEP."""
+    import pytest
+
+    t = ScriptedTransport(503, "static")
+    with pytest.raises(TypeError, match="NO_SLEEP"):
+        run_ladder(t, "https://a.edu/s", sleep_fn=None)
 
 
 # -- attempt-count Column mirror ----------------------------------------------
