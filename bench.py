@@ -101,6 +101,71 @@ def crawl_extract_bench(spark, n_hosts=12, total_pages=1500):
     }
 
 
+def large_world_bench(spark, sf_dir, factor=10, n_runs=2):
+    """Dedup/similarity suite on a ``factor``× replicated corpus
+    (synth/docs.py replicate_*): sf0.1's sub-4 s query timings are
+    noise-limited on this shared host, so regressions in the SCALE-path
+    operators are measured here, where each runs for tens of seconds.
+    Only the production-path configurations run (64-bit simhash, derived
+    LSH planes, auto saturation guards) — the 32-bit oracle configs are
+    documented toy-scale shapes and would trip the guard by design."""
+    from course_scraper_spark.operators import dedup as D
+    from course_scraper_spark.operators import textstats as TS
+    from course_scraper_spark.operators.similarity import lsh_near_dup_pairs
+    from course_scraper_spark.synth.docs import replicate_documents, replicate_embeddings
+
+    docs = replicate_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), factor
+    ).cache()
+    emb = replicate_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), factor
+    ).cache()
+    n_docs, n_emb = docs.count(), emb.count()
+    dim = len(emb.select("embedding").first()[0])
+
+    sigs64 = D.simhash_pandas(docs, bits=64).cache()
+    sigs64.count()
+
+    ops = {
+        "exact_dedup": lambda: D.exact_dedup(docs).count(),
+        "minhash_lsh_dedup": lambda: D.minhash_lsh_dedup(docs).count(),
+        "simhash64_pairs": lambda: D.simhash_near_pairs(
+            sigs64, bits=64, n_blocks=4
+        ).count(),
+        "simhash64_dup_clusters": lambda: D.simhash_dup_clusters(docs).count(),
+        "embedding_neardup_lsh": lambda: lsh_near_dup_pairs(
+            emb, dim, n_planes=None, threshold=0.9
+        ).count(),
+        "token_stats": lambda: docs.select(
+            TS.token_count(F.col("text")).alias("n_tok"),
+            TS.quality_score(F.col("text")).alias("q"),
+        ).agg(F.sum("n_tok"), F.avg("q")).collect(),
+        "lang_id": lambda: docs.select(TS.lang_id(F.col("text")).alias("lang"))
+        .groupBy("lang").count().collect(),
+    }
+    timings, runs = {}, {}
+    for name, fn in ops.items():
+        rs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn()
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        timings[name] = sorted(rs)[len(rs) // 2]
+    docs.unpersist()
+    emb.unpersist()
+    sigs64.unpersist()
+    return {
+        "factor": factor,
+        "n_docs": n_docs,
+        "n_embeddings": n_emb,
+        "agg": f"median_of_{n_runs}",
+        "timings": timings,
+        "runs": runs,
+        "total_sec": round(sum(timings.values()), 2),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -128,20 +193,27 @@ def main():
     total_q = round(sum(timings.values()), 2)
 
     entrymod.shingle_cache_clear()
-    print(
-        json.dumps(
-            {
-                "metric": "crawl_extract_store_plus_queries_wall",
-                "value": round(crawl["wall_sec"] + total_q, 2),
-                "unit": "sec",
-                "queries": timings,
-                "query_agg": f"median_of_{n_runs}",
-                "query_runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl": crawl,
-            }
-        )
-    )
+
+    # 10x corpus for the scale-path dedup/similarity suite (skippable:
+    # SPARK_GRAFT_LARGE_WORLD=0); reported alongside, never part of the
+    # headline `value` (round-over-round comparability)
+    large = None
+    if os.environ.get("SPARK_GRAFT_LARGE_WORLD", "1") != "0":
+        large = large_world_bench(spark, sf_dir)
+
+    out = {
+        "metric": "crawl_extract_store_plus_queries_wall",
+        "value": round(crawl["wall_sec"] + total_q, 2),
+        "unit": "sec",
+        "queries": timings,
+        "query_agg": f"median_of_{n_runs}",
+        "query_runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+    }
+    if large is not None:
+        out["large_world"] = large
+    print(json.dumps(out))
     spark.stop()
 
 

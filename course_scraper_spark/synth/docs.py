@@ -47,3 +47,71 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
         F.col("source"),
         F.transform(idx, span).alias("spans"),
     )
+
+
+def replicate_documents(documents: DataFrame, factor: int = 10) -> DataFrame:
+    """Deterministic ``factor``× blow-up of the documents table for
+    large-corpus benches (round-5 verdict #4: sub-4 s sf0.1 timings are
+    noise-limited; regressions need a corpus where the dedup suite works
+    for tens of seconds).
+
+    Pure Column algebra, no RNG: variant 0 is the original corpus;
+    variant v > 0 rewrites every 5th token to a variant-salted form, so
+
+    * intra-variant duplicate structure is PRESERVED (identical texts
+      stay identical, near-dups stay near — the transform is a pure
+      function of token position and text), scaling pair/cluster work
+      by ``factor``;
+    * cross-variant pairs are BROKEN (3/5 of all 3-shingles contain a
+      rewritten token; simhash moves with ~20% of tokens), so the
+      blow-up multiplies work instead of creating one pathological
+      ``factor``-way near-dup family per doc — which would trip the
+      banding saturation guard and measure the guard, not the operator.
+
+    doc_ids shift by ``variant * 10^9`` to stay unique and keep the
+    original ids stable for spot-checks."""
+    variants = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_v")
+    base = documents.select("*", variants)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    salted = F.when(
+        F.col("_v") == 0, F.col("text")
+    ).otherwise(
+        F.array_join(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda t, i: F.when(
+                    i % 5 == 0,
+                    F.concat(t, F.lit("_v"), F.col("_v").cast("string")),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+    )
+    return base.select(
+        (F.col("doc_id") + F.col("_v").cast("long") * F.lit(1_000_000_000)).alias("doc_id"),
+        salted.alias("text"),
+        *[c for c in documents.columns if c not in ("doc_id", "text")],
+    )
+
+
+def replicate_embeddings(emb: DataFrame, factor: int = 10, dim: int | None = None) -> DataFrame:
+    """``factor``× blow-up of the embeddings table: variant v rotates
+    each vector left by v positions (pure array slicing — deterministic,
+    norm-preserving). Intra-variant cosine structure is preserved
+    exactly (rotation is an isometry applied uniformly), cross-variant
+    similarity is scrambled, so LSH/ANN work scales by ``factor``
+    without collapsing into cross-variant duplicate pairs."""
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    variants = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_v")
+    base = emb.select("*", variants)
+    rot = F.concat(
+        F.slice(F.col("embedding"), F.col("_v") + 1, F.lit(dim) - F.col("_v")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("_v")),
+    )
+    return base.select(
+        (F.col("vec_id") + F.col("_v").cast("long") * F.lit(1_000_000_000)).alias("vec_id"),
+        rot.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )

@@ -107,3 +107,40 @@ def test_write_json_debug_roundtrip(spark, tmp_path):
         (1, "Intro to Data", 3.0),
         (2, "Calculus", 4.0),
     ]
+
+
+def test_replicate_documents_preserves_dup_structure(spark):
+    """Large-world bench corpus (synth/docs.py): factor-x blow-up keeps
+    variant 0 byte-identical, scales exact-dup surplus by exactly the
+    factor (intra-variant structure preserved), and never collides ids."""
+    from pyspark.sql import functions as F
+
+    from course_scraper_spark.operators import dedup as D
+    from course_scraper_spark.synth.docs import replicate_documents, replicate_embeddings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40),  # dup of 1
+            (3, "totally different words in this other document here now", "en", "s", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    big = replicate_documents(docs, 4).cache()
+    assert big.count() == 12
+    assert big.select("doc_id").distinct().count() == 12
+    v0 = {r.doc_id: r.text for r in big.filter(F.col("doc_id") < 10**9).collect()}
+    assert v0 == {r.doc_id: r.text for r in docs.collect()}
+    d0 = D.exact_dedup(docs).agg(F.sum(F.col("n_dups") - 1)).first()[0]
+    dN = D.exact_dedup(big).agg(F.sum(F.col("n_dups") - 1)).first()[0]
+    assert dN == 4 * d0
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5, 0.25], 0), (2, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    bige = replicate_embeddings(emb, 3).cache()
+    assert bige.count() == 6
+    rows = {r.vec_id: list(r.embedding) for r in bige.collect()}
+    assert rows[1] == [1.0, 0.0, 0.5, 0.25]          # variant 0 untouched
+    assert rows[1 + 10**9] == [0.0, 0.5, 0.25, 1.0]  # rotated by 1
