@@ -19,7 +19,11 @@ commit API for summary properties or a tiny side table keyed by tag;
 the append/overwrite/tag/time-travel calls themselves map 1:1. The
 sandbox has no jar to validate either route, so the emulated backend
 stays the default here (unlike MetricsStore, whose interface both
-backends already satisfy).
+backends already satisfy). The A6 insert/update tally is closed since
+round 5: both backends expose ``last_commit_tally()`` — exact counts
+from the emulation's merge join, Iceberg's from the native snapshot
+summary (inserted exact; updated = the copy-on-write file-level bound)
+— contract-tested per backend in tests/test_table_backends.py.
 """
 
 from __future__ import annotations

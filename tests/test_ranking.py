@@ -56,3 +56,31 @@ def test_assign_seq_single_group_many_partitions(spark):
     out = assign_seq(df, "g", ["parent_seq", "link_pos"], num_partitions=8)
     got = sorted((r.parent_seq, r.seq) for r in out.collect())
     assert got == [(i, i + 1) for i in range(500)]
+
+
+def test_assign_seq_lazy_equals_with_totals(spark):
+    """Round-5 fold: the lazy form must rank identically to the
+    totals-collecting form on BOTH strategies (window small path and
+    two-phase big path forced via est_rows), since the crawl loops now
+    derive totals from the materialized delta instead."""
+    from pyspark.sql import functions as F
+
+    from course_scraper_spark.operators.ranking import (
+        assign_seq_lazy,
+        assign_seq_with_totals,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 37 % 1000).alias("k1"),
+        F.col("id").alias("k2"),
+    )
+    want, totals = assign_seq_with_totals(df, "g", ["k1", "k2"], seq_col="s")
+    want_rows = sorted(map(tuple, want.collect()))
+    assert sum(totals.values()) == 3000
+
+    small = assign_seq_lazy(df, "g", ["k1", "k2"], seq_col="s", est_rows=100)
+    assert sorted(map(tuple, small.collect())) == want_rows
+
+    big = assign_seq_lazy(df, "g", ["k1", "k2"], seq_col="s", est_rows=10**7)
+    assert sorted(map(tuple, big.collect())) == want_rows

@@ -147,3 +147,33 @@ def test_expire_snapshots_contract(backend, spark):
     assert sorted(r.url for r in t.read(tag="tail").collect()) == ["u100", "u99"]
     with pytest.raises(KeyError):
         t.read(snapshot_id=early)
+
+
+def test_last_commit_tally(backend, spark):
+    """A6 insert/update tally through the backend interface: the
+    emulation computes exact counts from the merge join; on Iceberg the
+    inserted count comes exactly from the snapshot summary
+    (added-records − deleted-records) while updated is the
+    copy-on-write file-level bound (≥ true updates) — both documented
+    in last_commit_tally's contract."""
+    t = backend.make("tally")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    assert t.last_commit_tally() == (3, 0)
+
+    # upsert: id 2,3 match (updated), id 4,5 new (inserted)
+    src = spark.createDataFrame([(2, "B"), (3, "C"), (4, "d"), (5, "e")], ["id", "v"])
+    t.merge(src, on=["id"])
+    ins, upd = t.last_commit_tally()
+    assert ins == 2
+    if backend.name == "snaptable":
+        assert upd == 2          # exact in the emulation
+    else:
+        assert upd >= 2          # CoW file-level upper bound
+
+    # insert-only MERGE (K1): no WHEN MATCHED clause -> zero updates
+    src2 = spark.createDataFrame([(5, "x"), (6, "f")], ["id", "v"])
+    t.merge(src2, on=["id"], update_cols=[])
+    ins2, upd2 = t.last_commit_tally()
+    assert ins2 == 1
+    if backend.name == "snaptable":
+        assert upd2 == 0
