@@ -20,6 +20,7 @@ Operator ↔ query map (SURVEY.md §2 inventory):
   O1/O3  sort + limit              q_top_hits
   A2     count metrics             q_count_metrics
   K6/J5  merge upsert              q_merge_upsert
+  A6     merge insert/update tally q_merge_tally
   AR4/F11 label explode+validate   q_label_explode_validate
   AR1    JSON payload parse        q_json_extract
   §2.10  windowed rollup           q_windowed_rollup
@@ -279,6 +280,32 @@ def q_merge_upsert(spark, sf):
         F.when(matched | F.col("t.doc_id").isNull(), F.col("s.text")).otherwise(F.col("t.text")).alias("text"),
         F.when(matched | F.col("t.doc_id").isNull(), F.col("s.lang")).otherwise(F.col("t.lang")).alias("lang"),
         matched.alias("was_updated"),
+    )
+
+
+def q_merge_tally(spark, sf):
+    """A6 insert/update tally (merge_courses.py:26-56: merge returns
+    (merged, num_inserted, num_updated)) as pure Column algebra over the
+    same existing/scraped split as q_merge_upsert — per-source outcome
+    counts of the K6 upsert, the DataFrame twin of the backends'
+    ``last_commit_tally()`` (storage/snaptable.py, storage/iceberg.py)."""
+    documents = _t(spark, sf, "documents")
+    existing = documents.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ).select("doc_id")
+    scraped = documents.filter(
+        F.col("source").isin("src3", "src4", "src5", "src6")
+    ).select("doc_id", "source")
+    j = scraped.join(existing.withColumn("_m", F.lit(1)), "doc_id", "left")
+    return (
+        j.select(
+            "source",
+            F.when(F.col("_m").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("outcome"),
+        )
+        .groupBy("source", "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -576,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_hits": q_top_hits,
         "q_count_metrics": q_count_metrics,
         "q_merge_upsert": q_merge_upsert,
+        "q_merge_tally": q_merge_tally,
         "q_label_explode_validate": q_label_explode_validate,
         "q_json_extract": q_json_extract,
         "q_windowed_rollup": q_windowed_rollup,
@@ -834,6 +862,18 @@ SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
   CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
   (t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL) AS was_updated
 FROM existing t FULL OUTER JOIN scraped s ON t.doc_id = s.doc_id
+"""
+
+    out["q_merge_tally"] = """
+WITH existing AS (
+  SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+scraped AS (
+  SELECT doc_id, source FROM documents WHERE source IN ('src3','src4','src5','src6'))
+SELECT s.source,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'updated' ELSE 'inserted' END AS outcome,
+  count(*) AS n
+FROM scraped s LEFT JOIN existing e ON s.doc_id = e.doc_id
+GROUP BY 1, 2
 """
 
     out["q_label_explode_validate"] = """

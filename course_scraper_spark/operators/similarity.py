@@ -236,6 +236,11 @@ def lsh_near_dup_pairs(
         F.col(id_col).alias("id"), F.explode(F.array(*table_buckets)).alias("b")
     ).select("id", "b.t", "b.bkt")
     if max_bucket_rows is not None:
+        # the bucket column costs n_planes HOF dot-products per row —
+        # persist the (id, t, bkt) projection so the guard's agg and the
+        # self-join's two sides all read one computation (the projection
+        # is three scalars/row; eviction under pressure just recomputes)
+        buckets = buckets.persist()
         check_bucket_load(
             buckets.select(F.concat_ws(":", "t", "bkt").alias("_bucket")),
             "_bucket",
