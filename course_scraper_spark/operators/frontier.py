@@ -266,13 +266,20 @@ BROADCAST_WAVE_THRESHOLD = 1_000_000
 # (tools/scaling_bench.py, >=100k URLs) crosses it; the toy bench does
 # not.
 COPARTITION_SEEN_THRESHOLD = 50_000
-# Upper-bound links-per-page estimate that routes a wave's seq ranking
-# onto the two-phase range path (ranking.assign_seq_lazy) BEFORE the
-# candidate count is known: prev_wave_rows × this ≥ candidate rows for
-# every synthetic/real world profile seen so far (heavy world is
-# branching 8 + 4 extra links). Overestimating costs two small jobs;
-# underestimating would funnel a mega-wave through one window task.
-EST_WAVE_BRANCHING = 16
+# Frontier-growth estimate that routes a wave's seq ranking onto the
+# two-phase range path (ranking.assign_seq_lazy) BEFORE the new-URL
+# count is known. The ranked set is new_urls AFTER seen-anti-join and
+# first-occurrence dedup — empirically ≤ ~1.3× the previous wave even
+# in the exponential phase (measured: 27k→51k→65k→70k on the heavy
+# 200k world), so prev × 2 is a safe routing bound; the raw
+# links-per-page fan-out (12-16×) is the wrong quantity and measured
+# −11 s/crawl at the 200k world by pushing every mid-size wave through
+# the two-phase checkpoint+counts jobs. Mis-routing is benign in both
+# directions: overestimate = two extra small jobs; underestimate = one
+# window task per SOURCE carries that source's wave (only a mega-wave
+# in a SINGLE source actually funnels, and the two-phase path re-engages
+# the next wave once prev × 2 crosses the threshold).
+EST_WAVE_BRANCHING = 2
 
 
 def _fetch_join(wave_slim: DataFrame, pages_slim: DataFrame, wave_rows: int | None,
@@ -496,6 +503,19 @@ def crawl_sources(
             # Arrow. With metrics, the fused UDF emits in-band per-host
             # aggregates (split back out below) so the production path
             # feeds partition_metrics without un-fusing.
+            #
+            # The wave is EXPLICITLY spread before the UDF (unless the
+            # salting stage already did): the wave inherits the delta
+            # checkpoint's partitioning, which AQE's size-based
+            # coalescing shrinks to 1-2 partitions for a few-MB delta —
+            # measured at the 200k world: a 70k-URL fetch stage ran as
+            # TWO tasks on local[8] (16 s on 2 cores, 6 idle), the
+            # dominant loop-scaling killer. An explicit numbered
+            # repartition is exempt from AQE coalescing; the shuffle
+            # moves only slim (source_id,url,host,seq,depth,is_mc)
+            # rows, never page bodies.
+            if salt_hosts_threshold is None:
+                wave_slim = wave_slim.repartition(parts * 2)
             from .fetch import fetch_extract_http, split_fused_output
 
             if metrics_store is not None:
@@ -556,29 +576,36 @@ def crawl_sources(
         # feeds previews, the anti-join AND the ranking collect, so pin it
         cand = cand.persist()
 
-        # MC side-channel: previews -> seen without visiting (crawler.py:211-212)
-        previews = (
-            cand.filter(
-                F.col("is_mc")
-                & (F.col("stream") == "anchor")
-                & F.col("full_url").contains("preview_course_nopop.php")
+        # MC side-channel: previews -> seen without visiting
+        # (crawler.py:211-212). Skipped entirely when NO source is
+        # Modern-Campus (resolve time knows): the subplan is a
+        # dedup + anti-join chain per wave, i.e. several scheduler
+        # barriers that an all-generic crawl pays for nothing.
+        if any(rt.is_mc for rt in runtimes):
+            previews = (
+                cand.filter(
+                    F.col("is_mc")
+                    & (F.col("stream") == "anchor")
+                    & F.col("full_url").contains("preview_course_nopop.php")
+                )
+                .select("source_id", F.col("full_url").alias("url"))
+                .dropDuplicates(["source_id", "url"])
+                .transform(
+                    lambda d: store.anti_join(d)
+                    if store is not None
+                    else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+                )
+                .select(
+                    "source_id",
+                    "url",
+                    U.host_of(F.col("url")).alias("host"),
+                    F.lit(None).cast("int").alias("depth"),
+                    F.lit(None).cast("long").alias("seq"),
+                    F.lit(False).alias("visited"),
+                )
             )
-            .select("source_id", F.col("full_url").alias("url"))
-            .dropDuplicates(["source_id", "url"])
-            .transform(
-                lambda d: store.anti_join(d)
-                if store is not None
-                else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
-            )
-            .select(
-                "source_id",
-                "url",
-                U.host_of(F.col("url")).alias("host"),
-                F.lit(None).cast("int").alias("depth"),
-                F.lit(None).cast("long").alias("seq"),
-                F.lit(False).alias("visited"),
-            )
-        )
+        else:
+            previews = spark.createDataFrame([], SEEN_SCHEMA)
 
         # queue candidates: generic = every anchor; MC = listing links to
         # content.php. Depth gate differs per branch (crawler.py:187 vs 235).
@@ -963,6 +990,14 @@ def crawl_sources_budgeted(
         links_pre = None
         if fetch == "http":
             wave_slim = expandable.select("source_id", "url", "host", "seq", "depth", "is_mc")
+            # explicit spread before the CPU-heavy fused UDF unless the
+            # salting stage already repartitioned — the round's frontier
+            # inherits checkpoint partitioning that AQE may have
+            # coalesced to 1-2 partitions (see crawl_sources)
+            if salt_hosts_threshold is None:
+                wave_slim = wave_slim.repartition(
+                    spark.sparkContext.defaultParallelism * 2
+                )
             # fused fetch+extract either way (html never crosses Arrow);
             # with metrics the UDF emits in-band per-host aggregates
             from .fetch import fetch_extract_http, split_fused_output
@@ -1012,28 +1047,33 @@ def crawl_sources_budgeted(
         )
         cand = cand.filter(scope_ok & ~F.rlike(F.col("full_url"), F.col("excl_regex"))).persist()
 
-        previews = (
-            cand.filter(
-                F.col("is_mc")
-                & (F.col("stream") == "anchor")
-                & F.col("full_url").contains("preview_course_nopop.php")
+        # MC previews side-channel — skipped when no source is MC (same
+        # rationale as crawl_sources: several per-round barriers saved)
+        if any(rt.is_mc for rt in runtimes):
+            previews = (
+                cand.filter(
+                    F.col("is_mc")
+                    & (F.col("stream") == "anchor")
+                    & F.col("full_url").contains("preview_course_nopop.php")
+                )
+                .select("source_id", F.col("full_url").alias("url"))
+                .dropDuplicates(["source_id", "url"])
+                .transform(
+                    lambda d: seen_store.anti_join(d)
+                    if seen_store is not None
+                    else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
+                )
+                .select(
+                    "source_id",
+                    "url",
+                    U.host_of(F.col("url")).alias("host"),
+                    F.lit(None).cast("int").alias("depth"),
+                    F.lit(None).cast("long").alias("seq"),
+                    F.lit(False).alias("visited"),
+                )
             )
-            .select("source_id", F.col("full_url").alias("url"))
-            .dropDuplicates(["source_id", "url"])
-            .transform(
-                lambda d: seen_store.anti_join(d)
-                if seen_store is not None
-                else d.join(seen.select("source_id", "url"), ["source_id", "url"], "left_anti")
-            )
-            .select(
-                "source_id",
-                "url",
-                U.host_of(F.col("url")).alias("host"),
-                F.lit(None).cast("int").alias("depth"),
-                F.lit(None).cast("long").alias("seq"),
-                F.lit(False).alias("visited"),
-            )
-        )
+        else:
+            previews = spark.createDataFrame([], SEEN_SCHEMA)
 
         # row-level depth gates (mixed depths within one round)
         child_depth = F.col("parent_depth") + 1
