@@ -201,11 +201,13 @@ def worker(cpus: int, stage: str) -> None:
         )
         seen = res.seen.cache()
         n_seen = seen.count()
+        t_crawl = time.time() - t0
         out = scrape_targets(seen.select("source_id", "url"), pages_df, schemas, parse_partitions=cpus)
         n_docs = out.docs.count()
         wall = time.time() - t0
         print(json.dumps({"cpus": cpus, "stage": stage, "wall": wall, "seen": n_seen,
-                          "docs": n_docs, "throughput": (n_seen + n_docs) / wall}))
+                          "docs": n_docs, "throughput": (n_seen + n_docs) / wall,
+                          "crawl_wall": round(t_crawl, 2), "parse_wall": round(wall - t_crawl, 2)}))
     else:
         spec = _heavy_spec(LOOP_PAGES, LOOP_HOSTS)
         pages_df = spark.createDataFrame(build_pages(spec)).repartition(cpus).cache()
