@@ -143,19 +143,23 @@ def large_world_bench(spark, sf_dir, factor=10, n_runs=2):
         "lang_id": lambda: docs.select(TS.lang_id(F.col("text")).alias("lang"))
         .groupBy("lang").count().collect(),
     }
-    timings, runs = {}, {}
+    timings, runs, errors = {}, {}, {}
     for name, fn in ops.items():
         rs = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            fn()
-            rs.append(round(time.time() - t0, 3))
+        try:
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn()
+                rs.append(round(time.time() - t0, 3))
+        except Exception as e:  # record (e.g. a saturation guard), keep benching
+            errors[name] = str(e)[:200]
+            continue
         runs[name] = rs
         timings[name] = sorted(rs)[len(rs) // 2]
     docs.unpersist()
     emb.unpersist()
     sigs64.unpersist()
-    return {
+    out = {
         "factor": factor,
         "n_docs": n_docs,
         "n_embeddings": n_emb,
@@ -164,6 +168,9 @@ def large_world_bench(spark, sf_dir, factor=10, n_runs=2):
         "runs": runs,
         "total_sec": round(sum(timings.values()), 2),
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def main():

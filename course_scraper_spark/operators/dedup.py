@@ -274,6 +274,11 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_rows is not None:
+        # persist: the guard's eager agg and the self-join's two sides
+        # otherwise re-run the whole signature pipeline (measured ~2x
+        # the query at sf0.1); the banding projection is three scalars
+        # per (doc, band)
+        buckets = buckets.persist()
         from .similarity import check_bucket_load
 
         check_bucket_load(
@@ -466,6 +471,9 @@ def simhash_near_pairs(
     for p in parts[1:]:
         blocks = blocks.unionByName(p)
     if max_bucket_rows is not None:
+        # persist: guard agg + both join sides read one computation of
+        # the signature pipeline (measured ~2x the query without it)
+        blocks = blocks.persist()
         from .similarity import check_bucket_load
 
         check_bucket_load(

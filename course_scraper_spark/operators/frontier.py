@@ -514,7 +514,11 @@ def crawl_sources(
             # repartition is exempt from AQE coalescing; the shuffle
             # moves only slim (source_id,url,host,seq,depth,is_mc)
             # rows, never page bodies.
-            if salt_hosts_threshold is None:
+            if salt_hosts_threshold is None and wave_rows and wave_rows > 1000:
+                # size-gated: a toy wave's extra shuffle costs more
+                # latency than the spread buys (measured +0.5 s/wave on
+                # the 1.5k-page bench world); coalescing starvation only
+                # matters once a wave carries real CPU work
                 wave_slim = wave_slim.repartition(parts * 2)
             from .fetch import fetch_extract_http, split_fused_output
 
@@ -994,7 +998,7 @@ def crawl_sources_budgeted(
             # salting stage already repartitioned — the round's frontier
             # inherits checkpoint partitioning that AQE may have
             # coalesced to 1-2 partitions (see crawl_sources)
-            if salt_hosts_threshold is None:
+            if salt_hosts_threshold is None and n_now > 1000:
                 wave_slim = wave_slim.repartition(
                     spark.sparkContext.defaultParallelism * 2
                 )
