@@ -172,3 +172,37 @@ def test_crawl_loop_with_table_store(spark, tmp_path):
     assert sorted(
         map(tuple, TableSeenStore.load(spark, table).union().collect())
     ) == got
+
+
+def test_budgeted_loop_with_table_store(spark, tmp_path):
+    """The budgeted loop accepts the same seen_store_factory: identical
+    seen set vs the in-memory store, and the table reconstructs it."""
+    from course_scraper_spark.operators.frontier import crawl_sources_budgeted
+    from course_scraper_spark.synth.world import WorldSpec, build_pages, build_sources
+
+    spec = WorldSpec(n_hosts=3, total_pages=150)
+    pages = spark.createDataFrame(build_pages(spec)).cache()
+    sources = build_sources(spec)
+    hosts = [(s.root_url.split("/")[2], 0.5) for s in sources]
+    robots = spark.createDataFrame(hosts, "host string, crawl_delay double")
+
+    table = SnapshotTable.create(spark, str(tmp_path / "bseen"), bucket_col="url")
+    res_tbl = crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=5.0,
+        copartition_seen=True,
+        seen_store_factory=lambda: TableSeenStore(
+            spark, table, ("source_id", "url"), n_partitions=4
+        ),
+    )
+    res_mem = crawl_sources_budgeted(
+        spark, sources, pages, robots=robots, round_budget_s=5.0,
+        copartition_seen=True,
+    )
+    got = sorted((r.source_id, r.url) for r in res_tbl.seen.select("source_id", "url").collect())
+    want = sorted((r.source_id, r.url) for r in res_mem.seen.select("source_id", "url").collect())
+    assert got == want
+    durable = sorted(
+        (r.source_id, r.url)
+        for r in TableSeenStore.load(spark, table).union().select("source_id", "url").collect()
+    )
+    assert durable == got
