@@ -172,13 +172,21 @@ def q_politeness_carryover(spark, sf):
 
     events = _t(spark, sf, "events")
     base = events.select(F.col("user_id").alias("host"), F.col("event_id").alias("seq"))
-    robots = base.select("host").distinct().withColumn("crawl_delay", F.lit(2.0))
+    # round 6: the host dim is read by THREE joins and its row count by
+    # the broadcast gates — persist it and count once (the old shape
+    # re-ran the events-distinct pipeline per consumer and per
+    # robots_dim_side count, and the eager assign_seq totals collect
+    # re-executed the whole upstream again per with_schedule call;
+    # with_schedule is now lazy, see politeness.py). s1 feeds now1,
+    # def1 AND the offsets agg — persist so one window pass serves all.
+    robots = base.select("host").distinct().withColumn("crawl_delay", F.lit(2.0)).persist()
+    n_hosts = robots.count()
     w1 = base.filter(F.col("seq") % 2 == 0)
-    s1 = with_schedule(w1, robots=robots)
+    s1 = with_schedule(w1, robots=robots, robots_rows=n_hosts).persist()
     now1, def1 = split_by_budget(s1, budget_s=3.0)
-    off = next_round_offsets(now1, None, robots, 3.0)
+    off = next_round_offsets(now1, None, robots, 3.0, robots_rows=n_hosts)
     p2 = def1.unionByName(base.filter(F.col("seq") % 2 == 1))
-    s2 = with_schedule(p2, robots=robots, host_offsets=off)
+    s2 = with_schedule(p2, robots=robots, host_offsets=off, robots_rows=n_hosts)
     now2, _def2 = split_by_budget(s2, budget_s=3.0)
 
     def sel(df, rnd):

@@ -25,6 +25,7 @@ frequency cap before the self-join — the classic hot-key guard.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +98,67 @@ def shingles_pandas(
 
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(gen, f"doc_id {id_type}, shingle string")
+
+
+def doc_shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, sh_set array<string> sorted ascending, n_sh) — one row
+    per doc with a non-empty shingle set (docs whose text yields no
+    shingle are absent, matching the exploded form's semantics).
+
+    Two sources, same rows: from ``shingle_df`` (a pre-built — ideally
+    cached — exploded shingle table) via one grouped collect; or, when
+    no exploded table exists, straight from the text in one mapInPandas
+    pass (no explode, no shuffle). The verify stage of
+    :func:`minhash_lsh_dedup` consumes this instead of self-joining the
+    exploded table (round 6 — see that docstring)."""
+    if shingle_df is not None:
+        return shingle_df.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("shingle")).alias("sh_set"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sets, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text, n)
+                if not sh:
+                    continue
+                ids.append(did)
+                sets.append(sorted(sh))
+                ns.append(len(sh))
+            yield pd.DataFrame({"doc_id": ids, "sh_set": sets, "n_sh": ns})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"doc_id {id_type}, sh_set array<string>, n_sh long"
+    )
+
+
+def set_intersection_size_udf():
+    """pandas_udf: |A ∩ B| for two array<string> columns whose arrays
+    are DISTINCT-element sets (sorted or not) — integer-exact, so the
+    Jaccard that divides it is bit-identical to the count the exploded
+    self-join produced."""
+
+    @F.pandas_udf("long")
+    def inter(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for xa, xb in zip(a, b):
+            sa, sb = set(xa), set(xb)
+            if len(sb) < len(sa):
+                sa, sb = sb, sa
+            out.append(sum(1 for s in sa if s in sb))
+        return pd.Series(out, dtype="int64")
+
+    return inter
 
 
 def minhash_signatures_pandas(
@@ -308,8 +370,49 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard ≥ threshold. The banding
     saturation guard defaults ON (``max_bucket_rows='auto'``, see
-    :func:`lsh_candidate_pairs`)."""
-    sh = shingle_df if shingle_df is not None else shingles(df, text_col, id_col, n).cache()
+    :func:`lsh_candidate_pairs`).
+
+    Round 6 — verify-stage split by input shape. WITHOUT a pre-built
+    ``shingle_df``, the old verify forced a full explode of the corpus
+    plus an exploded self-join (one shuffled row per shared shingle per
+    candidate pair) — the dominant cost at the 10x bench world, ~110 s
+    cold. That path now collects each doc's DISTINCT shingle set ONCE,
+    straight from the text (:func:`doc_shingle_sets` — no explode, no
+    shuffle), joins candidates to the two per-doc arrays and computes
+    |A∩B| per pair in an Arrow batch (:func:`set_intersection_size_udf`);
+    signatures come from the single-pass pandas implementation. Counts
+    are integers and the Jaccard formula is unchanged Column algebra, so
+    results are bit-identical (oracle-pinned, equality test). WITH a
+    shared (cached) ``shingle_df``, the exploded-table verify stays: the
+    cache is already materialized and the grouped collect_list set build
+    measured SLOWER than the warm exploded joins at sf0.1."""
+    sh = shingle_df
+    if sh is None:
+        sigs = minhash_signatures_pandas(df, text_col, id_col, n, k)
+        cand = lsh_candidate_pairs(sigs, k, bands, max_bucket_rows=max_bucket_rows)
+        # persist: the set table feeds BOTH sides of the candidate join;
+        # the projection is one array + one long per doc
+        sets = doc_shingle_sets(df, text_col, id_col, n).persist()
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        inter = set_intersection_size_udf()
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_common", inter(F.col("sh_a"), F.col("sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     sigs = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh)
     cand = lsh_candidate_pairs(sigs, k, bands, max_bucket_rows=max_bucket_rows)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -458,18 +561,27 @@ def simhash_near_pairs(
         )
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    parts = [
-        sig_df.select(
-            "doc_id",
-            "simhash",
-            F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)).alias("blk"),
-            F.lit(i).alias("band"),
-        )
-        for i in range(n_blocks)
-    ]
-    blocks = parts[0]
-    for p in parts[1:]:
-        blocks = blocks.unionByName(p)
+    # one pass, explode — NOT a union of n_blocks projections of sig_df:
+    # the union duplicates the upstream signature subtree n_blocks times
+    # in the plan, so materializing it (the guard persist below) ran the
+    # signature pipeline — a mapInPandas over the whole corpus — once
+    # per block (round 6: measured as the entire cold-run gap on
+    # q_simhash_pairs, 2.98 s cold vs 0.65 s warm). Same rows, one
+    # signature computation.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.shiftright(F.col("simhash"), i * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("blk"),
+                F.lit(i).alias("band"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocks = sig_df.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "simhash", "bb.blk", "bb.band")
     if max_bucket_rows is not None:
         # persist: guard agg + both join sides read one computation of
         # the signature pipeline (measured ~2x the query without it)
@@ -761,18 +873,22 @@ def embedding_near_dup(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks (doc_a < doc_b, cos ≥ τ).
-    Block key bounds the pair space; swap in an LSH bucket at scale."""
-    dot = lambda x, y: F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-    norm = lambda x: F.sqrt(dot(x, x))
-    # per-vector norms computed BEFORE the pair join: one interpreted
-    # aggregate per pair (the dot), not three
+    Block key bounds the pair space; swap in an LSH bucket at scale.
+
+    Round 6: norm and per-pair dot run in the Arrow fold-left kernels
+    (operators/similarity.py — bit-exact replacement for the
+    interpreted HOF aggregates, which were the whole stage cost); the
+    round(6)+threshold compare stays in Column land."""
+    from .similarity import pair_dot_udf, vec_norm_udf
+
+    nrm_udf = vec_norm_udf()
+    # per-vector norms computed BEFORE the pair join: one dot per pair,
+    # not three
     normed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.col(block_col).alias("blk"),
-        norm(F.col(vec_col)).alias("nrm"),
+        nrm_udf(F.col(vec_col)).alias("nrm"),
     )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk"
@@ -781,6 +897,7 @@ def embedding_near_dup(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk"
     )
     pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    dot = pair_dot_udf()
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))

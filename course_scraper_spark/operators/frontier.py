@@ -671,14 +671,19 @@ def crawl_sources(
                 sorted(seq_base.items()), "source_id string, base long"
             )
         )
+        # LEFT join + coalesce(base, 0) (round 6, advice): an inner join
+        # would silently DROP any ranked row whose source_id is missing
+        # from seq_base (reachable via a state-store resume whose saved
+        # seq_base predates an added source); the coalesce reproduces
+        # the historical `seq_base.get(sid, 0)` fallback instead.
         new_wave = (
-            ranked.join(base_df, "source_id")
+            ranked.join(base_df, "source_id", "left")
             .select(
                 "source_id",
                 "url",
                 U.host_of(F.col("url")).alias("host"),
                 F.lit(next_depth).alias("depth"),
-                (F.col("rel_seq") + F.col("base")).alias("seq"),
+                (F.col("rel_seq") + F.coalesce(F.col("base"), F.lit(0))).alias("seq"),
             )
         )
         delta = new_wave.withColumn("visited", F.lit(True)).unionByName(previews)
@@ -699,11 +704,16 @@ def crawl_sources(
             seen = store.add_delta(seen)
             seen = store.union()
 
-        # the wave's single materialization point
+        # the wave's single materialization point. Round 6: the
+        # checkpoint is LAZY — the totals collect right below is the
+        # first action on it, so ONE job materializes the checkpoint
+        # (truncating the iterative lineage exactly as before) AND
+        # returns the per-source counts, where the old eager+collect
+        # pair ran two jobs and two passes per wave.
         if store is not None:
             delta = store.add_delta(delta)
         elif checkpoint or state_store is not None:
-            delta = delta.localCheckpoint(eager=True)
+            delta = delta.localCheckpoint(eager=False)
         totals_rows = (
             delta.filter(F.col("visited"))
             .groupBy("source_id")
@@ -874,7 +884,9 @@ def crawl_sources_budgeted(
         rounds, seq_base, snap = resumed
         seen = state_store.read_seen(snap)
         pending = state_store.read_pending(rounds)
+        pending_rows_est = pending.count()  # once, at resume
     else:
+        pending_rows_est = len(runtimes)
         seen = pending.withColumn("visited", F.lit(True)).localCheckpoint(eager=True)
         seq_base = {rt.source.source_id: 1 for rt in runtimes}
         rounds = 0
@@ -921,9 +933,14 @@ def crawl_sources_budgeted(
 
     while rounds < (max_rounds if max_rounds is not None else 10_000):
         rounds += 1
-        # slot by seq = priority; host_offsets carries last round's cadence
+        # slot by seq = priority; host_offsets carries last round's
+        # cadence. wave_rows: tracked frontier-size OVERESTIMATE so the
+        # lazy ranking picks two-phase before a Zipf host could funnel
+        # a mega-frontier through one window task (round 6 — the eager
+        # assign_seq totals pre-job is gone, see politeness.py).
         sched = with_schedule(
-            pending, robots, robots_rows=robots_rows, host_offsets=host_offsets
+            pending, robots, robots_rows=robots_rows, host_offsets=host_offsets,
+            wave_rows=pending_rows_est,
         )
         now, deferred = split_by_budget(sched, round_budget_s)
         if salt_hosts_threshold is not None:
@@ -1129,12 +1146,14 @@ def crawl_sources_budgeted(
         base_df = F.broadcast(
             spark.createDataFrame(sorted(seq_base.items()), "source_id string, base long")
         )
-        new_rows = ranked.join(base_df, "source_id").select(
+        # left + coalesce(base, 0): see the crawl_sources twin (a
+        # resume-added source must not silently lose its URLs)
+        new_rows = ranked.join(base_df, "source_id", "left").select(
             "source_id",
             "url",
             U.host_of(F.col("url")).alias("host"),
             "depth",
-            (F.col("rel_seq") + F.col("base")).alias("seq"),
+            (F.col("rel_seq") + F.coalesce(F.col("base"), F.lit(0))).alias("seq"),
             "max_depth",
             "is_mc",
         )
@@ -1249,7 +1268,9 @@ def crawl_sources_budgeted(
             delta = seen_store.add_delta(delta)
             seen = seen_store.union()
         else:
-            delta = delta.localCheckpoint(eager=True)
+            # LAZY checkpoint (round 6): the totals collect below is the
+            # first action — one job materializes + counts (jobs/round fold)
+            delta = delta.localCheckpoint(eager=False)
             seen = seen.unionByName(delta)
         totals_rows = (
             delta.filter(F.col("visited"))
@@ -1262,6 +1283,10 @@ def crawl_sources_budgeted(
         for sid, n in totals.items():
             seq_base[sid] = seq_base.get(sid, 0) + n
         seen_rows_est += n_new
+        # frontier estimate for next round's ranking-strategy pick:
+        # deferred (≤ pending - n_now) + new + readmitted — kept as an
+        # overestimate (never subtract fetched-and-dropped rows)
+        pending_rows_est = max(0, pending_rows_est - n_now) + n_new + n_readmit
         pending = deferred.unionByName(fetchable_new)
         if readmit is not None and n_readmit:
             pending = pending.unionByName(readmit)

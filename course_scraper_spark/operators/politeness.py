@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ranking import assign_seq
+from .ranking import assign_seq_lazy
 
 DEFAULT_CRAWL_DELAY = 1.0  # crawler.py:150: rp.crawl_delay("*") or 1.0
 
@@ -34,6 +34,7 @@ def with_schedule(
     robots: DataFrame | None = None,
     robots_rows: int | None = None,
     host_offsets: DataFrame | None = None,
+    wave_rows: int | None = None,
 ) -> DataFrame:
     """Add ``slot`` (1-based per-host fetch ordinal) and ``sched_time``
     (seconds after wave start). ``robots``: (host, crawl_delay) — a
@@ -48,12 +49,19 @@ def with_schedule(
     render_utils.py:58 — the serial cadence doesn't reset because a
     wave ended).
 
-    The slot rank routes through the adaptive two-phase ranking
-    (operators/ranking.py): small waves take one per-host window; big
-    waves range-partition so a Zipf mega-host never funnels its whole
-    frontier share through a single window task. (source_id, url)
-    tiebreakers keep the slot deterministic when two sources sharing a
-    host collide on seq."""
+    The slot rank routes through the LAZY adaptive ranking
+    (``ranking.assign_seq_lazy`` — round 6: the eager ``assign_seq``
+    collected per-host totals up front, a driver job that re-executed
+    the whole upstream pipeline once per ``with_schedule`` call and was
+    measured as most of q_politeness_carryover's cost). ``wave_rows``
+    is the row-count ESTIMATE that picks the strategy: small (or
+    ``None``) → one per-host window, zero extra jobs; above the
+    threshold → two-phase range ranking so a Zipf mega-host never
+    funnels its frontier share through one window task. Loop callers
+    that can see Zipf hosts pass their tracked frontier estimate
+    (overestimates are safe). (source_id, url) tiebreakers keep the
+    slot deterministic when two sources sharing a host collide on
+    seq."""
     if robots is not None:
         from .robots import robots_dim_side
 
@@ -69,7 +77,9 @@ def with_schedule(
         offset = F.lit(0.0)
     delay = F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
     tiebreak = [c for c in ("source_id", "url") if c in wave.columns]
-    ranked = assign_seq(wave, "host", ["seq", *tiebreak], seq_col="slot")
+    ranked = assign_seq_lazy(
+        wave, "host", ["seq", *tiebreak], seq_col="slot", est_rows=wave_rows
+    )
     return (
         ranked.withColumn("slot", F.col("slot").cast("int"))
         .withColumn("sched_time", offset + (F.col("slot") - 1) * delay)

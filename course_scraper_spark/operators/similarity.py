@@ -16,6 +16,9 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +35,123 @@ def cosine(x, y):
     return _dot(x, y) / (_norm(x) * _norm(y))
 
 
+# --------------------------------------------------------------------------
+# Arrow-vectorized kernels (round 6).
+#
+# The Column forms above run in Catalyst's INTERPRETED higher-order-
+# function path: every `aggregate(zip_with(...))` walks the 64-element
+# arrays one boxed element at a time, per row (or per candidate pair).
+# Profiled at the 20k-vector large world, that interpretation was the
+# whole cost of lsh_near_dup_pairs (~30 s wall; the plan itself — one
+# scan, one (t,bucket) self-join — was already right). The kernels below
+# hand whole Arrow batches to numpy instead (optimization guide §4.2).
+#
+# BIT-EXACTNESS CONTRACT: Catalyst's fold is strictly left-to-right —
+# acc = ((0.0 + x0*y0) + x1*y1) + ... — and floating-point addition is
+# not associative, so a numpy `np.dot` (pairwise/SIMD summation) could
+# flip a rounded 6th decimal and break the hash-exact DuckDB oracles.
+# Every kernel therefore accumulates with an explicit per-dimension
+# loop, vectorized ACROSS rows: `acc += V[:, j] * W[j]` performs, for
+# every row, exactly the same IEEE-754 multiply-add sequence as the
+# Column fold. Final round(6)/compares stay in Column land (Spark's
+# HALF_UP round is not numpy's banker's round). Equality is pinned by
+# tests/test_similarity.py and the oracle gate.
+# --------------------------------------------------------------------------
+
+
+def _stack(series):
+    """pandas Series of float arrays -> (n, d) float64 matrix."""
+    if len(series) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack(series.to_numpy())
+
+
+def _foldl_rows_dot(A, B):
+    """Per-row fold-left dot of two (n, d) matrices — Catalyst order."""
+    acc = np.zeros(len(A), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j] * B[:, j]
+    return acc
+
+
+def pair_dot_udf():
+    """pandas_udf: fold-left <a, b> per row over two array<double> cols."""
+
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(_foldl_rows_dot(_stack(a), _stack(b)))
+
+    return dot
+
+
+def vec_norm_udf():
+    """pandas_udf: fold-left sqrt(<v, v>) per row."""
+
+    @F.pandas_udf("double")
+    def nrm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        V = _stack(v)
+        return pd.Series(np.sqrt(_foldl_rows_dot(V, V)))
+
+    return nrm
+
+
+def _foldl_qnorm(q: list[float]) -> float:
+    """Fold-left ||q|| for a driver-side query vector — same IEEE
+    sequence as the Column `_norm` over an array of literals."""
+    acc = 0.0
+    for x in q:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_to_query_udf(query: list[float]):
+    """pandas_udf: fold-left cosine(v, query) — replaces the interpreted
+    per-row `cosine(col, array_of_lits)` Column expression."""
+    q = [float(x) for x in query]
+    qnorm = _foldl_qnorm(q)
+    qarr = np.array(q, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def cosq(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        V = _stack(v)
+        acc = np.zeros(len(V), dtype=np.float64)
+        nacc = np.zeros(len(V), dtype=np.float64)
+        for j in range(V.shape[1]):
+            acc += V[:, j] * qarr[j]
+            nacc += V[:, j] * V[:, j]
+        return pd.Series(acc / (np.sqrt(nacc) * qnorm))
+
+    return cosq
+
+
+def plane_buckets_udf(planes_flat: list[list[float]], n_planes: int, n_tables: int):
+    """pandas_udf: all ``n_tables`` LSH bucket ids of a vector in ONE
+    Arrow pass — table t's bucket bit b is sign(<v, plane[t*n_planes+b]>),
+    fold-left, identical to ``lsh_bucket_col`` per plane."""
+    P = np.array(planes_flat, dtype=np.float64)  # (n_tables*n_planes, d)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def bkts(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = _stack(v)
+        acc = np.zeros((len(V), P.shape[0]), dtype=np.float64)
+        for j in range(V.shape[1]):
+            acc += V[:, j : j + 1] * P[:, j]
+        bits = acc >= 0.0
+        out = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(out.astype(np.int32)))
+
+    return bkts
+
+
 def brute_force_topk(
     emb: DataFrame,
     query: list[float],
@@ -40,10 +160,12 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine. One scan + one top-k (TakeOrdered — no full
-    sort)."""
-    q = F.array(*[F.lit(float(v)) for v in query])
+    sort). Scoring is the Arrow-vectorized fold-left kernel (round 6:
+    the interpreted per-row HOF cosine was the whole stage cost); the
+    round(6) stays in Column land for oracle parity."""
+    cosq = cosine_to_query_udf(query)
     scored = emb.select(
-        F.col(id_col).alias("vec_id"), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+        F.col(id_col).alias("vec_id"), F.round(cosq(F.col(vec_col)), 6).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
@@ -132,6 +254,10 @@ def check_bucket_load(
     full-width hash buckets). The observed bucket count is deliberately
     NOT used: a saturated banding collapses to few observed buckets,
     which would scale the threshold up right when it must fire."""
+    if isinstance(max_bucket_rows, str) and max_bucket_rows != "auto":
+        raise ValueError(
+            f"max_bucket_rows must be an int, 'auto' or None, got {max_bucket_rows!r}"
+        )
     row = (
         bucketed.groupBy(bucket_col)
         .count()
@@ -170,7 +296,8 @@ def lsh_topk(
     if n_planes is None:
         n_planes = planes_for_corpus(emb.count())
     planes = [hyperplane(b, dim) for b in range(n_planes)]
-    bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    bkts = plane_buckets_udf(planes, n_planes, n_tables=1)
+    bucketed = emb.withColumn("_bucket", F.element_at(bkts(F.col(vec_col)), 1))
 
     qbits = 0
     for b, plane in enumerate(planes):
@@ -182,10 +309,10 @@ def lsh_topk(
         if bin(bb ^ qbits).count("1") <= multiprobe_hamming
     ]
 
-    q = F.array(*[F.lit(float(v)) for v in query])
+    cosq = cosine_to_query_udf(query)
     return (
         bucketed.filter(F.col("_bucket").isin(probe))
-        .select(F.col(id_col).alias("vec_id"), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .select(F.col(id_col).alias("vec_id"), F.round(cosq(F.col(vec_col)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -221,59 +348,96 @@ def lsh_near_dup_pairs(
     space (None disables — opt-out, not the default)."""
     if n_planes is None:
         n_planes = planes_for_corpus(emb.count())
-    # ALL tables' buckets from ONE corpus scan (struct array + explode),
-    # candidates from ONE self-join keyed (table, bucket) — the same
-    # shape as minhash banding. The previous per-table loop scanned the
-    # corpus and shuffled once PER table; the pair set is identical
-    # (union-of-per-table-joins == join-on-(t,bucket), both distinct'd).
-    table_buckets = []
-    for t in range(n_tables):
-        planes = [hyperplane(t * n_planes + b, dim) for b in range(n_planes)]
-        table_buckets.append(
-            F.struct(F.lit(t).alias("t"), lsh_bucket_col(F.col(vec_col), planes).alias("bkt"))
-        )
-    buckets = emb.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*table_buckets)).alias("b")
-    ).select("id", "b.t", "b.bkt")
+    # ALL tables' buckets from ONE corpus scan (the Arrow fold-left
+    # kernel computes every table's bucket bits in one numpy pass —
+    # round 6; bit-exact per the kernel contract above). The VERIFY is
+    # per-bucket too (round 6): the old shape generated candidate pairs
+    # with a (t,bucket) self-join, distinct'd them, then re-attached
+    # both vectors by id — shuffling two dim-double arrays PER PAIR
+    # (~1 KB × millions of candidates at the 10x bench world, the
+    # dominant cost). Now each vector moves ONCE per table to its
+    # bucket (guide-§8 shape: move heavy bytes once, decide in place):
+    # one grouped Arrow kernel emits the bucket's upper-triangle
+    # (id_a < id_b) fold-left dots and norms, Column algebra computes
+    # the identical round(6) cosine, and the cross-table duplicate
+    # candidates collapse in the SAME distinct that previously dedup'd
+    # the candidate pairs (identical fold ⇒ identical cosine bits).
+    all_planes = [hyperplane(i, dim) for i in range(n_tables * n_planes)]
+    bkts = plane_buckets_udf(all_planes, n_planes, n_tables)
+    bv = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(bkts(F.col(vec_col))).alias("t", "bkt"),
+    )
     if max_bucket_rows is not None:
-        # the bucket column costs n_planes HOF dot-products per row —
-        # persist the (id, t, bkt) projection so the guard's agg and the
-        # self-join's two sides all read one computation (the projection
-        # is three scalars/row; eviction under pressure just recomputes)
-        buckets = buckets.persist()
+        # persist: the guard's agg and the grouped verify both read one
+        # computation of the bucket projection (eviction under memory
+        # pressure just recomputes)
+        bv = bv.persist()
         check_bucket_load(
-            buckets.select(F.concat_ws(":", "t", "bkt").alias("_bucket")),
+            bv.select(F.concat_ws(":", "t", "bkt").alias("_bucket")),
             "_bucket",
             max_bucket_rows,
             n_bucket_space=n_tables * (1 << min(n_planes, 40)),
         )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
-        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt")))
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    id_type = dict(emb.dtypes)[id_col]
+    kernel = _bucket_pair_cosine_kernel()
+    raw = bv.groupBy("t", "bkt").applyInPandas(
+        kernel, f"id_a {id_type}, id_b {id_type}, _dot double, _na double, _nb double"
+    )
+    # cosine assembled in Column land — same division order and the same
+    # HALF_UP round(6) as before; distinct collapses cross-table dupes
+    # (bit-identical fold ⇒ bit-identical doubles)
+    return (
+        raw.withColumn("cosine", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
         .distinct()
     )
 
-    # norms are per-VECTOR: compute once before the pair join so each
-    # candidate pair costs one dot-product aggregate, not three (the
-    # higher-order aggregate is interpreted — measured 3x the verify
-    # cost when norms rode the pair side). NOTE: a 64-term unrolled
-    # element_at chain is NOT the fix — it blew past the codegen/JIT
-    # method budget and ran 3.6x slower than the HOF aggregate.
-    normed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
-    )
-    va = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+def _bucket_pair_cosine_kernel(chunk_rows: int = 1024):
+    """applyInPandas kernel for one (table, bucket) group: emit the
+    upper triangle (id_a < id_b by VALUE) with fold-left pair dots and
+    per-vector norms. Chunked over rows so a guard-limit bucket
+    (65k rows) never materializes an m×m matrix at once."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            ids0 = pdf["id"].to_numpy()[:0]
+            z = np.array([], dtype=np.float64)
+            return pd.DataFrame({"id_a": ids0, "id_b": ids0, "_dot": z, "_na": z, "_nb": z})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy())[order].astype(np.float64, copy=False)
+        d = V.shape[1]
+        nacc = np.zeros(m, dtype=np.float64)
+        for j in range(d):
+            nacc += V[:, j] * V[:, j]
+        nrm = np.sqrt(nacc)
+        outs = []
+        for lo in range(0, m - 1, chunk_rows):
+            hi = min(lo + chunk_rows, m - 1)
+            A = V[lo:hi]
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(d):
+                acc += A[:, j : j + 1] * V[:, j]
+            ii, kk = np.triu_indices_from(acc, k=lo + 1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ii + lo],
+                        "id_b": ids[kk],
+                        "_dot": acc[ii, kk],
+                        "_na": nrm[ii + lo],
+                        "_nb": nrm[kk],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return kernel
 
 
 def kmeans_centroids(
@@ -414,10 +578,10 @@ def ivf_topk(
         key=lambda t: (-t[1], t[0]),  # ties -> lowest list id (portable)
     )
     probe = [i for i, _ in scored[:nprobe]]
-    q = F.array(*[F.lit(float(v)) for v in query])
+    cosq = cosine_to_query_udf(query)
     return (
         assigned.filter(F.col("ivf_list").isin(probe))
-        .select(F.col(id_col).alias("vec_id"), F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .select(F.col(id_col).alias("vec_id"), F.round(cosq(F.col(vec_col)), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )

@@ -180,7 +180,13 @@ def scrape_targets(
     spark = targets.sparkSession
     schemas_map = {r["source_id"]: r["schema_json"] for r in schemas.collect()}
     schemas_bc = spark.sparkContext.broadcast(schemas_map)
-    parsed = fetched.mapInPandas(_make_parser(schemas_bc), _PARSE_SCHEMA)
+    # persist: docs, courses AND url_flags all derive from the parse —
+    # without the cache each consumed output re-runs the fetch join and
+    # the parse UDF from scratch (round 6: materializing docs + courses
+    # paid the parse twice, measured ~2x the stage in the bench loop).
+    # Callers that consume a single output pay one extra cache write;
+    # the parse output is slim (spans + records, no html).
+    parsed = fetched.mapInPandas(_make_parser(schemas_bc), _PARSE_SCHEMA).persist()
 
     docs = parsed.filter(F.col("n_items") > 0).select("source_id", "doc_id", "spans")
 

@@ -224,10 +224,13 @@ class IcebergTable:
             # Contract error ONLY for the expired/unknown-snapshot cases;
             # genuine failures (permissions, network, bad SQL) propagate
             # untouched instead of masquerading as a missing snapshot.
-            from pyspark.errors import AnalysisException
-
+            # Round 6 (advice): the previous blanket
+            # isinstance(AnalysisException) test also caught dropped-
+            # table / bad-column / permission AnalysisExceptions — only
+            # the snapshot-specific message markers (and only when a
+            # snapshot/tag was actually requested) qualify now.
             msg = str(e)
-            snapshotish = isinstance(e, AnalysisException) or any(
+            snapshotish = (snapshot_id is not None or tag is not None) and any(
                 marker in msg
                 for marker in (
                     "Cannot find snapshot",
