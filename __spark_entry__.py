@@ -61,7 +61,7 @@ from course_scraper_spark.operators import dedup as D
 from course_scraper_spark.operators import similarity as SIM
 from course_scraper_spark.operators import textstats as TS
 from course_scraper_spark.operators.politeness import split_by_budget, with_schedule
-from course_scraper_spark.synth.docs import docs_from_documents
+from course_scraper_spark.synth.docs import docs_from_documents_pandas as docs_from_documents
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 

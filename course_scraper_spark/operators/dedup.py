@@ -161,6 +161,50 @@ def set_intersection_size_udf():
     return inter
 
 
+def minhash_sigs_and_sets_pandas(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
+) -> DataFrame:
+    """One mapInPandas pass emitting BOTH the k minhash signatures
+    (identical to :func:`minhash_signatures_pandas`) and the sorted
+    per-doc shingle set (identical to :func:`doc_shingle_sets`) — the
+    two passes share the tokenize+shingle work, which dominates either
+    one (round 6, equality pinned in tests/test_dedup_ops.py)."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.array([2 * i + 3 for i in range(k)], dtype=np.int64)
+    b = np.array([7 * i + 1 for i in range(k)], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], **{f"mh{i}": [] for i in range(k)}, "sh_set": [], "n_sh": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _py_shingles(text, n)
+                if not sh:
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                mins = ((a[:, None] * h[None, :] + b[:, None]) % MINHASH_P).min(axis=1)
+                out["doc_id"].append(did)
+                for i in range(k):
+                    out[f"mh{i}"].append(mins[i])
+                out["sh_set"].append(sorted(sh))
+                out["n_sh"].append(len(sh))
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"doc_id {id_type}, "
+        + ", ".join(f"mh{i} long" for i in range(k))
+        + ", sh_set array<string>, n_sh long"
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def minhash_signatures_pandas(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 16
 ) -> DataFrame:
@@ -388,11 +432,13 @@ def minhash_lsh_dedup(
     measured SLOWER than the warm exploded joins at sf0.1."""
     sh = shingle_df
     if sh is None:
-        sigs = minhash_signatures_pandas(df, text_col, id_col, n, k)
+        # ONE text pass computes signatures AND shingle sets (they share
+        # the tokenize+shingle work, which dominates the pass); persist —
+        # the banding, the guard agg and both verify sides all read it
+        combo = minhash_sigs_and_sets_pandas(df, text_col, id_col, n, k).persist()
+        sigs = combo.select("doc_id", *[f"mh{i}" for i in range(k)])
         cand = lsh_candidate_pairs(sigs, k, bands, max_bucket_rows=max_bucket_rows)
-        # persist: the set table feeds BOTH sides of the candidate join;
-        # the projection is one array + one long per doc
-        sets = doc_shingle_sets(df, text_col, id_col, n).persist()
+        sets = combo.select("doc_id", "sh_set", "n_sh")
         sa = sets.select(
             F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"),
             F.col("n_sh").alias("n_a"),

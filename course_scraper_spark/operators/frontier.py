@@ -1144,7 +1144,9 @@ def crawl_sources_budgeted(
             num_partitions=spark.sparkContext.defaultParallelism,
         )
         base_df = F.broadcast(
-            spark.createDataFrame(sorted(seq_base.items()), "source_id string, base long")
+            spark.createDataFrame(
+                sorted(seq_base.items()), "source_id string, base long"
+            )
         )
         # left + coalesce(base, 0): see the crawl_sources twin (a
         # resume-added source must not silently lose its URLs)

@@ -49,6 +49,51 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def docs_from_documents_pandas(documents: DataFrame) -> DataFrame:
+    """Arrow twin of :func:`docs_from_documents` — identical rows
+    (equality pinned in tests/test_spans_equality.py). Round 6: the
+    Column form builds every span struct through an interpreted
+    higher-order ``transform`` (slice + concat_ws per chunk per row),
+    which dominated q_span_flatten; here the chunking is one C-speed
+    loop per Arrow batch. Tokenization contract: ASCII ``\\s+``, empties
+    dropped (same as the Column ``split(trim(...))`` + filter)."""
+    import re
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sources, spans_col = [], [], []
+            for did, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
+                n_chunks = max(-(-len(toks) // CHUNK), 1)
+                spans = []
+                for c in range(n_chunks):
+                    is_media = c % 5 == 4
+                    kind = (
+                        "media" if is_media
+                        else ("course_title" if c % 5 == 0 else "course_description")
+                    )
+                    # NOTE 'doc:{did}': the Column form's F.col("doc_id")
+                    # inside the transform resolves to the LATERAL alias
+                    # ('doc:'||id) of the same select, not the input id
+                    media_ref = (
+                        f"img://{source}/doc:{did}_{c}.png" if is_media else None
+                    )
+                    text_c = None if is_media else " ".join(toks[c * CHUNK : (c + 1) * CHUNK])
+                    spans.append((kind, text_c, media_ref, c))
+                ids.append(f"doc:{did}")
+                sources.append(source)
+                spans_col.append(spans)
+            yield pd.DataFrame({"doc_id": ids, "source": sources, "spans": spans_col})
+
+    return documents.select("doc_id", "source", "text").mapInPandas(
+        gen,
+        "doc_id string, source string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+
+
 def replicate_documents(documents: DataFrame, factor: int = 10) -> DataFrame:
     """Deterministic ``factor``× blow-up of the documents table for
     large-corpus benches (round-5 verdict #4: sub-4 s sf0.1 timings are

@@ -394,3 +394,27 @@ def test_bucket_rows_for_corpus_formula():
     # 32-bit saturation regime: expected mean 390k/bucket would bless
     # saturation if the threshold scaled with it; the ceiling catches it
     assert bucket_rows_for_corpus(4 * 10**8, 4 * 256) == 65536
+
+
+def test_minhash_sigs_and_sets_fused_equality(spark):
+    """Round 6: the fused one-pass sigs+sets table must equal the two
+    single-purpose passes column-for-column."""
+    from course_scraper_spark.operators.dedup import (
+        doc_shingle_sets,
+        minhash_sigs_and_sets_pandas,
+        minhash_signatures_pandas,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    combo = minhash_sigs_and_sets_pandas(docs, n=3, k=8)
+    sigs = minhash_signatures_pandas(docs, n=3, k=8)
+    sets = doc_shingle_sets(docs, n=3)
+    mh_cols = ["doc_id"] + [f"mh{i}" for i in range(8)]
+    assert (
+        combo.select(*mh_cols).orderBy("doc_id").collect()
+        == sigs.orderBy("doc_id").collect()
+    )
+    assert (
+        combo.select("doc_id", "sh_set", "n_sh").orderBy("doc_id").collect()
+        == sets.orderBy("doc_id").collect()
+    )

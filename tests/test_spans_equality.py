@@ -80,3 +80,17 @@ def test_archive_urls_never_fetched(scrape_output):
     # F7 (scraper.py:84): archive URLs are skipped pre-fetch, so they can
     # never appear among docs
     assert scrape_output.docs.filter(F.col("doc_id").contains("archive")).count() == 0
+
+
+def test_docs_from_documents_pandas_equality(spark):
+    """Round 6: the Arrow twin of docs_from_documents must emit the
+    exact same rows (incl. span structs) as the Column form."""
+    from course_scraper_spark.synth.docs import (
+        docs_from_documents,
+        docs_from_documents_pandas,
+    )
+
+    documents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = docs_from_documents(documents).orderBy("doc_id").collect()
+    b = docs_from_documents_pandas(documents).orderBy("doc_id").collect()
+    assert a == b
