@@ -684,8 +684,11 @@ def connected_components(
     # materialize the pair pipeline ONCE: the branch decision (count),
     # the union-find collect and the edge build all read these rows —
     # without the checkpoint the upstream candidate/verify pipeline
-    # would re-run per consumer (measured 2x the whole query cost)
-    pairs = pairs.localCheckpoint(eager=True)
+    # would re-run per consumer (measured 2x the whole query cost).
+    # LAZY (round 6): the count / first consumer right below is the
+    # materializing action, so checkpoint + branch decision is one job
+    # instead of two.
+    pairs = pairs.localCheckpoint(eager=False)
     if method == "auto":
         method = (
             "union_find" if pairs.count() <= driver_edge_threshold else "star"
@@ -921,32 +924,27 @@ def embedding_near_dup(
     """Cosine near-dup pairs within blocks (doc_a < doc_b, cos ≥ τ).
     Block key bounds the pair space; swap in an LSH bucket at scale.
 
-    Round 6: norm and per-pair dot run in the Arrow fold-left kernels
-    (operators/similarity.py — bit-exact replacement for the
-    interpreted HOF aggregates, which were the whole stage cost); the
-    round(6)+threshold compare stays in Column land."""
-    from .similarity import pair_dot_udf, vec_norm_udf
+    Round 6: the verify is PER-BLOCK (same shape as
+    ``similarity.lsh_near_dup_pairs``): each vector moves once to its
+    block group and one grouped Arrow kernel emits the block's
+    upper-triangle fold-left dots + norms — the old pair join shuffled
+    both vectors per candidate pair and fed them through a per-pair
+    dot UDF. Cosine assembly (identical division order) and the
+    HALF_UP round(6)+threshold stay in Column land; blocks are
+    disjoint, so no distinct is needed. Bit-exact per the kernel
+    contract in operators/similarity.py."""
+    from .similarity import _bucket_pair_cosine_kernel
 
-    nrm_udf = vec_norm_udf()
-    # per-vector norms computed BEFORE the pair join: one dot per pair,
-    # not three
-    normed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col(block_col).alias("blk"),
-        nrm_udf(F.col(vec_col)).alias("nrm"),
+    bv = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
     )
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk"
+    id_type = dict(emb.dtypes)[id_col]
+    raw = bv.groupBy("blk").applyInPandas(
+        _bucket_pair_cosine_kernel(),
+        f"id_a {id_type}, id_b {id_type}, _dot double, _na double, _nb double",
     )
-    b = normed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk"
-    )
-    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
-    dot = pair_dot_udf()
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
+        raw.withColumn("cosine", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
