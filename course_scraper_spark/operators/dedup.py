@@ -658,12 +658,25 @@ def simhash_near_pairs(
     )
 
 
+# 'auto' connected-components branch point, MEASURED on this box
+# (round 6, tools-free repro in OPTIMIZATION_r06.md): collecting 2.0M
+# edges + path-compressed union-find + shipping the 1.8M-node labeling
+# back = 13.5 s wall and +0.97 GB driver RSS — comfortably inside the
+# 8 GB driver but clearly the ceiling's right order of magnitude (10M
+# edges would be ~5 GB). Above the threshold the loop-free
+# star-contraction branch (connected_components_star) takes over.
+# Override per deployment via SPARK_GRAFT_CC_DRIVER_EDGES.
+CC_DRIVER_EDGE_THRESHOLD = int(
+    __import__("os").environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "2000000")
+)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 30,
-    driver_edge_threshold: int = 2_000_000,
+    driver_edge_threshold: int | None = None,
     method: str = "auto",
 ) -> DataFrame:
     """(node, comp) — comp = the smallest node id reachable from node.
@@ -689,6 +702,8 @@ def connected_components(
     # materializing action, so checkpoint + branch decision is one job
     # instead of two.
     pairs = pairs.localCheckpoint(eager=False)
+    if driver_edge_threshold is None:
+        driver_edge_threshold = CC_DRIVER_EDGE_THRESHOLD
     if method == "auto":
         method = (
             "union_find" if pairs.count() <= driver_edge_threshold else "star"
