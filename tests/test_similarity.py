@@ -128,3 +128,71 @@ def test_kmeans_sample_unbiased_on_id_ordered_clusters(spark):
     prefix = emb.orderBy("vec_id").limit(100)
     cents_prefix = S.kmeans_centroids(prefix, n_lists=3, sample_size=100)
     assert nearest_cos(centers[2], cents_prefix) < 0.9
+
+
+def test_round6_kernels_bit_equal_column_forms(spark):
+    """Round 6: the Arrow fold-left kernels must match the Column HOF
+    reference forms BIT-exactly (not just to 6 decimals) — the kernels
+    replicate Catalyst's left-fold IEEE order by construction."""
+    from pyspark.sql import functions as F
+
+    from course_scraper_spark.operators.similarity import (
+        cosine,
+        cosine_to_query_udf,
+        hyperplane,
+        lsh_bucket_col,
+        pair_dot_udf,
+        plane_buckets_udf,
+        vec_norm_udf,
+        _dot,
+        _norm,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .cache()
+    )
+    dim = len(emb.select("embedding").first()[0])
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # cosine-to-query: raw doubles, no rounding — must be bit-identical
+    cosq = cosine_to_query_udf(q)
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    rows = emb.select(
+        cosq(F.col("embedding")).alias("k"),
+        cosine(F.col("embedding"), qcol).alias("c"),
+    ).collect()
+    assert all(r["k"] == r["c"] for r in rows)
+
+    # norm kernel vs Column _norm
+    nrm = vec_norm_udf()
+    rows = emb.select(
+        nrm(F.col("embedding")).alias("k"), _norm(F.col("embedding")).alias("c")
+    ).collect()
+    assert all(r["k"] == r["c"] for r in rows)
+
+    # bucket bits vs lsh_bucket_col, both tables
+    n_planes, n_tables = 4, 2
+    planes_flat = [hyperplane(i, dim) for i in range(n_tables * n_planes)]
+    bkts = plane_buckets_udf(planes_flat, n_planes, n_tables)
+    for t in range(n_tables):
+        tbl_planes = planes_flat[t * n_planes : (t + 1) * n_planes]
+        rows = emb.select(
+            F.element_at(bkts(F.col("embedding")), t + 1).alias("k"),
+            lsh_bucket_col(F.col("embedding"), tbl_planes).alias("c"),
+        ).collect()
+        assert all(r["k"] == r["c"] for r in rows)
+
+    # pair dot vs Column _dot over a small self-join
+    a = emb.limit(20).select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.limit(20).select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    dot = pair_dot_udf()
+    rows = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(dot(F.col("va"), F.col("vb")).alias("k"), _dot(F.col("va"), F.col("vb")).alias("c"))
+        .collect()
+    )
+    assert rows and all(r["k"] == r["c"] for r in rows)
+    emb.unpersist()
