@@ -272,7 +272,10 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # persist: the per-doc size agg feeds BOTH the doc_a and doc_b join
+    # sides, whose renames defeat exchange reuse — without the cache the
+    # aggregation runs twice per action (round 6)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -461,7 +464,8 @@ def minhash_lsh_dedup(
         )
     sigs = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh)
     cand = lsh_candidate_pairs(sigs, k, bands, max_bucket_rows=max_bucket_rows)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # persist: feeds both rename sides of the verify (see jaccard_pairs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     n_common = (
